@@ -1,0 +1,150 @@
+"""End-to-end pipeline orchestration (SURVEY.md §3.1 Spark shape, §7.1).
+
+``run_pipeline(spark, source)`` wires the stages:
+
+    source → ingest → [exact-dup star edges]
+                   → blocking (composite ∪ LSH, census+salt) on reps
+                   → scoring (embedding cosine + JW/Lev + combiner)
+                   → threshold τ → match edges (∪ sha edges)
+                   → large-star/small-star CC → clusters
+
+Each stage can checkpoint to a parquet table ("Iceberg-style"; see
+blink_spark.checkpoint) so a killed run resumes mid-pipeline — the
+reference's resume-if-done idiom (``scripts/feature_ablation_study.py:906-915``)
+promoted to per-stage tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blink_spark import blocking, clustering, evaluate, ingest, scoring
+
+
+@dataclass
+class PipelineConfig:
+    block_cap: int = blocking.DEFAULT_BLOCK_CAP
+    match_tau: float = scoring.MATCH_TAU
+    checkpoint_dir: str | None = None  # None → no persistence (in-memory run)
+    run_id: str = "run0"
+    extra: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    conf: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Returns every stage table keyed by name (lazy DataFrames unless
+    checkpointing is enabled, in which case stages materialize + resume)."""
+    conf = conf or PipelineConfig()
+
+    if conf.checkpoint_dir:
+        from blink_spark.checkpoint import StageWriter
+
+        writer = StageWriter(spark, conf.checkpoint_dir, conf.run_id)
+    else:
+        writer = None
+
+    # stages consumed by >1 downstream action are persisted (in-memory run)
+    # or written to the checkpoint table (resumable run) — without this the
+    # whole upstream DAG re-executes per action (the same reason the
+    # reference materializes encodings once, SURVEY.md §4 row 1)
+    _persisted = {"signatures", "candidate_pairs", "features", "scored_pairs", "clusters"}
+
+    def stage(name: str, build):
+        if writer is None:
+            df = build()
+            return df.persist() if name in _persisted else df
+        return writer.materialize(name, build)
+
+    ing = stage("ingested", lambda: ingest.ingest(source))
+    with_sig = stage(
+        "signatures",
+        lambda: blocking.with_lsh_columns(ing).select(
+            "file_id", "content_sha", "path", "path_stem", "lang",
+            "n_tokens", "shingles", "shingle_hashes", "minhash_sig", "band_keys",
+        ),
+    )
+
+    sha_edges = stage("sha_edges", lambda: blocking.exact_dup_edges(ing))
+    reps = blocking.representatives(with_sig)
+    membership = stage(
+        "block_membership",
+        lambda: blocking.block_membership(
+            reps.select("file_id", "lang", "path_stem", "band_keys")
+        ),
+    )
+    pairs = stage(
+        "candidate_pairs",
+        lambda: blocking.candidate_pairs(
+            membership.select("file_id", "block_key"), conf.block_cap
+        ),
+    )
+
+    features = stage(
+        "features",
+        lambda: scoring.with_embedding(with_sig).select(
+            "file_id", "path", "content_sha", "shingles", "embedding"
+        ),
+    )
+    scored = stage("scored_pairs", lambda: scoring.score_pairs(pairs, features))
+
+    edges = stage(
+        "match_edges",
+        lambda: scoring.match_edges(scored, conf.match_tau).unionByName(
+            sha_edges.select("left_id", "right_id")
+        ),
+    )
+    nodes = ing.select("file_id")
+    clusters = stage(
+        "clusters", lambda: clustering.connected_components(edges, nodes)
+    )
+
+    return {
+        "ingested": ing,
+        "signatures": with_sig,
+        "sha_edges": sha_edges,
+        "block_membership": membership,
+        "candidate_pairs": pairs,
+        "features": features,
+        "scored_pairs": scored,
+        "match_edges": edges,
+        "clusters": clusters,
+    }
+
+
+def evaluate_run(
+    tables: dict[str, DataFrame], source_with_gold: DataFrame
+) -> dict[str, float]:
+    """Headline metrics vs gold (fixture corpora carry ``gold_cluster``)."""
+    gold = tables["ingested"].select("file_id", "gold_cluster")
+
+    # labeled same-block pairs: candidate pairs + exact-dup edges, labeled
+    # from gold, predictions induced by the final clustering
+    pair_universe = (
+        tables["candidate_pairs"].select("left_id", "right_id", "block_key")
+        .unionByName(
+            tables["sha_edges"].select("left_id", "right_id", "block_key")
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    labeled = evaluate.labeled_pairs(pair_universe, gold)
+    labeled_pred = evaluate.predicted_pair_labels(labeled, tables["clusters"])
+    metrics = evaluate.pairwise_f1(labeled_pred)
+
+    # invariant: content_sha carried unchanged through checkpoints
+    bad_sha = (
+        tables["features"]
+        .join(tables["ingested"].select("file_id", F.col("content_sha").alias("src_sha")), "file_id")
+        .filter(F.col("content_sha") != F.col("src_sha"))
+        .count()
+    )
+    metrics["sha_invariant_violations"] = bad_sha
+    metrics["n_files"] = tables["ingested"].count()
+    metrics["n_clusters"] = tables["clusters"].select("cluster_id").distinct().count()
+    return metrics

@@ -1,0 +1,281 @@
+"""Stage C — pairwise scoring (SURVEY.md §2.3 E2-E4, §2.8 F1-F3, §2.9 M1).
+
+Reference mapping:
+- hashed-shingle embedding + cosine = the bi-encoder dot-product retrieval
+  score (``blink/biencoder/biencoder.py:126-166``), made deterministic: the
+  1024-d BERT CLS vector becomes a unit-normalized signed feature-hash
+  vector over content shingles, computed in ONE Arrow-vectorized pandas UDF
+  (the analog of torch DataLoader batching, ``blink/main_dense.py:254-268``).
+- Jaro-Winkler / Levenshtein on paths = the NIL predictor's string-distance
+  features (``scripts/prepare_nil_dataset.py:209-253`` — 20 textdistance
+  sims; the north rule mandates JW + Levenshtein).
+- shingle Jaccard = the serve-time Jaccard feature (``blink/main_api.py:422-429``).
+- the logistic combiner = the NIL LogisticRegression match/no-match decision
+  (``scripts/feature_ablation_study.py:969-977``; served at
+  ``blink/main_api.py:414-433``). Two flavors: fixed deterministic weights
+  (SQL-reproducible, used by the oracle-checked queries) and a spark.ml
+  ``Pipeline(StandardScaler, LogisticRegression)`` fit on labeled pairs
+  (the calibrated path used by the full pipeline).
+
+Everything except the two pandas UDFs stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from blink_spark import minhash
+from blink_spark.minhash import EMBED_DIM
+
+# Fixed combiner weights (deterministic, SQL-reproducible). Chosen so the
+# fixture corpus separates cleanly: near-dup positives (cos≳0.6, jac≳0.4)
+# land ≫ 0.5; same-block hard negatives (cos≈0, jac≈0, jw/lev high because
+# the *paths* collide by construction) land ≪ 0.5.
+W_BIAS = -7.0
+W_COS = 6.0
+W_JAC = 6.0
+W_JW = 1.0
+W_LEV = 1.0
+W_SHA = 16.0
+MATCH_TAU = 0.5
+
+
+# ---------------------------------------------------------------------------
+# Embeddings (bi-encoder analog)
+# ---------------------------------------------------------------------------
+
+def _embed_batch(hashes: pd.Series) -> pd.Series:
+    """Vectorized signed feature-hashing over shingle-hash lists.
+
+    idx  = h mod D
+    sign = +1 if (h div D) even else -1
+    vec  = unit-normalized scatter-add (zeros row if no shingles).
+    """
+    lens = hashes.str.len().fillna(0).astype(np.int64).to_numpy()
+    n = len(lens)
+    out = np.zeros((n, EMBED_DIM), dtype=np.float64)
+    if lens.sum() > 0:
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hashes if v is not None and len(v) > 0])
+        rows = np.repeat(np.arange(n), lens)
+        idx = flat % EMBED_DIM
+        sign = np.where(((flat // EMBED_DIM) % 2) == 0, 1.0, -1.0)
+        np.add.at(out, (rows, idx), sign)
+        norms = np.linalg.norm(out, axis=1)
+        nz = norms > 0
+        out[nz] /= norms[nz, None]
+    return pd.Series(list(out))
+
+
+embed_udf = F.pandas_udf(_embed_batch, ArrayType(DoubleType()))
+
+
+def with_embedding(df: DataFrame, hashes_col: str = "shingle_hashes") -> DataFrame:
+    return df.withColumn("embedding", embed_udf(F.col(hashes_col)))
+
+
+def sql_embedding(hashes_expr: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB mirror of :func:`_embed_batch` (unit-normalized)."""
+    comps = ", ".join(
+        f"list_sum(list_transform(__h, h -> CASE WHEN h % {dim} = {d} THEN "
+        f"(CASE WHEN (h // {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))"
+        for d in range(dim)
+    )
+    return (
+        f"(SELECT CASE WHEN list_sum(list_transform(__v, x -> x*x)) > 0 THEN "
+        f"list_transform(__v, x -> x / sqrt(list_sum(list_transform(__v, y -> y*y)))) "
+        f"ELSE __v END FROM "
+        f"(SELECT [{comps}] AS __v FROM (SELECT {hashes_expr} AS __h)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (pandas UDF; matches DuckDB jaro_winkler_similarity)
+# ---------------------------------------------------------------------------
+
+def _jaro(s1: str, s2: str) -> float:
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 and len2 == 0:
+        return 1.0
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags2 = [False] * len2
+    matches1 = []
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags2[j] = True
+                matches1.append(c)
+                break
+    m = len(matches1)
+    if m == 0:
+        return 0.0
+    matches2 = [s2[j] for j in range(len2) if flags2[j]]
+    t = sum(a != b for a, b in zip(matches1, matches2)) / 2
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+    j = _jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * p * (1 - j)
+    return j
+
+
+def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype=np.float64
+    )
+
+
+jw_udf = F.pandas_udf(_jw_batch, DoubleType())
+
+
+# ---------------------------------------------------------------------------
+# Pair features + combiner
+# ---------------------------------------------------------------------------
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Dot product of two unit vectors (JVM higher-order fns, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def lev_sim_col(a: Column, b: Column) -> Column:
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx > 0, 1.0 - F.levenshtein(a, b) / mx).otherwise(F.lit(1.0))
+
+
+def basename_col(path: Column) -> Column:
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def sigmoid_col(x: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-x))
+
+
+def match_p_col(cos, jac, jw, lev, exact_sha) -> Column:
+    z = (
+        F.lit(W_BIAS)
+        + F.lit(W_COS) * cos
+        + F.lit(W_JAC) * jac
+        + F.lit(W_JW) * jw
+        + F.lit(W_LEV) * lev
+        + F.lit(W_SHA) * exact_sha.cast("double")
+    )
+    return sigmoid_col(z)
+
+
+def sql_match_p(cos: str, jac: str, jw: str, lev: str, exact_sha: str) -> str:
+    z = (
+        f"({W_BIAS} + {W_COS}*({cos}) + {W_JAC}*({jac}) + {W_JW}*({jw}) "
+        f"+ {W_LEV}*({lev}) + {W_SHA}*(CASE WHEN {exact_sha} THEN 1.0 ELSE 0.0 END))"
+    )
+    return f"(1.0 / (1.0 + exp(-{z})))"
+
+
+def score_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
+    """pairs(left_id, right_id, ...) × features(file_id, path, content_sha,
+    shingles, embedding) → scored pair table.
+
+    Two sort-merge joins on file_id fetch per-side features; at 10^12-row
+    scale both sides would be bucketed by file_id to make these co-located.
+    """
+    feat = features.select(
+        F.col("file_id"),
+        basename_col(F.col("path")).alias("base"),
+        F.col("path"),
+        F.col("content_sha"),
+        F.col("shingles"),
+        F.col("embedding"),
+    )
+    lf = feat.select(*[F.col(c).alias(f"l_{c}") for c in feat.columns])
+    rf = feat.select(*[F.col(c).alias(f"r_{c}") for c in feat.columns])
+    df = (
+        pairs.join(lf, pairs["left_id"] == lf["l_file_id"])
+        .join(rf, pairs["right_id"] == rf["r_file_id"])
+    )
+    df = df.withColumn("cosine", cosine_col(F.col("l_embedding"), F.col("r_embedding")))
+    df = df.withColumn("jaccard_sh", jaccard_col(F.col("l_shingles"), F.col("r_shingles")))
+    df = df.withColumn("jw_path", jw_udf(F.col("l_base"), F.col("r_base")))
+    df = df.withColumn("lev_path", lev_sim_col(F.col("l_path"), F.col("r_path")))
+    df = df.withColumn("exact_sha", F.col("l_content_sha") == F.col("r_content_sha"))
+    df = df.withColumn(
+        "match_p",
+        match_p_col(
+            F.col("cosine"),
+            F.col("jaccard_sh"),
+            F.col("jw_path"),
+            F.col("lev_path"),
+            F.col("exact_sha"),
+        ),
+    )
+    return df.select(
+        "left_id", "right_id", "block_key", "salt",
+        "cosine", "jaccard_sh", "jw_path", "lev_path", "exact_sha", "match_p",
+    )
+
+
+def match_edges(scored: DataFrame, tau: float = MATCH_TAU) -> DataFrame:
+    """Threshold = the NIL match/no-match decision (below τ ⇒ no edge,
+    the mention is 'out of KB'; ``scripts/kbp_simulation.py:124-136``)."""
+    return scored.filter(F.col("match_p") >= F.lit(tau)).select("left_id", "right_id")
+
+
+# ---------------------------------------------------------------------------
+# Calibrated spark.ml combiner (the trained NIL-predictor analog)
+# ---------------------------------------------------------------------------
+
+FEATURE_COLS = ["cosine", "jaccard_sh", "jw_path", "lev_path"]
+
+
+def fit_combiner(labeled: DataFrame, seed: int = 1234):
+    """Pipeline(StandardScaler, LogisticRegression) on labeled pairs.
+
+    Mirrors ``make_pipeline(StandardScaler(), LogisticRegression(
+    random_state=1234, max_iter=200))`` at
+    ``scripts/feature_ablation_study.py:969-977``.
+    ``labeled`` needs FEATURE_COLS + boolean ``is_match``.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="raw_features")
+    scaler = StandardScaler(inputCol="raw_features", outputCol="features",
+                            withMean=True, withStd=True)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=200, regParam=1e-4
+    )
+    train = labeled.withColumn("label", F.col("is_match").cast("double"))
+    return Pipeline(stages=[assembler, scaler, lr]).fit(train)
+
+
+def apply_combiner(model, scored: DataFrame) -> DataFrame:
+    """Adds ``match_p_ml`` = P(match) from the fitted combiner."""
+    from pyspark.ml.functions import vector_to_array
+
+    out = model.transform(scored)
+    return out.withColumn(
+        "match_p_ml", vector_to_array(F.col("probability")).getItem(1)
+    ).drop("raw_features", "features", "rawPrediction", "probability", "prediction")

@@ -1,0 +1,24 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="blink_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    return duckdb.connect()
