@@ -1,0 +1,408 @@
+"""Driver-facing query surface: every pipeline stage as a (spark, sf_dir)
+callable plus a DuckDB oracle-SQL mirror (SURVEY.md §5 oracle cross-check).
+
+The oracle SQL recomputes the ENTIRE stage chain — sha ids, tokens,
+shingles, minhash signatures, band keys, candidate self-join, embedding
+cosine, Jaro-Winkler, logistic match probability, recursive-CTE connected
+components — independently in DuckDB, so a value-hash match is a real
+end-to-end correctness proof, not a tautology.
+
+Float columns are rounded to 6 dp on BOTH sides: the engines sum doubles in
+different orders, and last-bit noise must not fail the driver's value-hash.
+
+Reference parity anchors (what each query reproduces) are cited per
+function; see SURVEY.md §2 for the full operator mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
+from blink_spark.fixtures import ensure_fixture, sf_from_dir
+from blink_spark.minhash import EMBED_DIM
+
+ORACLE_SF = 0.01  # the scale the driver's DuckDB harness runs at
+
+
+# ---------------------------------------------------------------------------
+# Shared stage builders (Spark side)
+# ---------------------------------------------------------------------------
+
+def load_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic source_files table for the sf implied by
+    ``sf_dir`` (generated once, committed under fixtures/)."""
+    return spark.read.parquet(ensure_fixture(sf_from_dir(sf_dir)))
+
+
+def _ingested(spark, sf_dir):
+    return ingest.ingest(load_source(spark, sf_dir))
+
+
+def _with_sig(spark, sf_dir):
+    return blocking.with_lsh_columns(_ingested(spark, sf_dir))
+
+
+def _membership(spark, sf_dir):
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    return blocking.block_membership(
+        reps.select("file_id", "lang", "path_stem", "band_keys")
+    )
+
+
+def _pairs(spark, sf_dir):
+    return blocking.candidate_pairs(
+        _membership(spark, sf_dir).select("file_id", "block_key")
+    )
+
+
+def _scored(spark, sf_dir):
+    with_sig = _with_sig(spark, sf_dir).persist()
+    reps = blocking.representatives(with_sig)
+    pairs = blocking.candidate_pairs(
+        blocking.block_membership(
+            reps.select("file_id", "lang", "path_stem", "band_keys")
+        ).select("file_id", "block_key")
+    )
+    features = scoring.with_embedding(with_sig).select(
+        "file_id", "path", "content_sha", "shingles", "embedding"
+    )
+    return scoring.score_pairs(pairs, features)
+
+
+def _edges(spark, sf_dir):
+    scored = _scored(spark, sf_dir)
+    sha = blocking.exact_dup_edges(_ingested(spark, sf_dir))
+    return (
+        scoring.match_edges(scored)
+        .unionByName(sha.select("left_id", "right_id"))
+        .distinct()
+    )
+
+
+def _clusters(spark, sf_dir):
+    edges = _edges(spark, sf_dir).persist()
+    nodes = _ingested(spark, sf_dir).select("file_id")
+    return clustering.connected_components(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side) — names match oracle_sqls() keys
+# ---------------------------------------------------------------------------
+
+def q_ingest(spark, sf_dir):
+    """Stage A projection (``blink/main_dense.py:195-241`` analog)."""
+    return _ingested(spark, sf_dir).select(
+        "file_id",
+        "content_sha",
+        "lang",
+        "path_stem",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_block_membership(spark, sf_dir):
+    """Stage B block keys per representative (Solr/FAISS retrieval analog)."""
+    return _membership(spark, sf_dir).select("file_id", "block_key")
+
+
+def q_candidate_pairs(spark, sf_dir):
+    return _pairs(spark, sf_dir).select("left_id", "right_id", "block_key")
+
+
+def q_sha_edges(spark, sf_dir):
+    return blocking.exact_dup_edges(_ingested(spark, sf_dir)).select(
+        "left_id", "right_id"
+    )
+
+
+def q_scored_pairs(spark, sf_dir):
+    """Stage C features + calibrated match probability (E2-E4, F1-F3, M1)."""
+    s = _scored(spark, sf_dir)
+    return s.select(
+        "left_id",
+        "right_id",
+        "block_key",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard_sh", 6).alias("jaccard_sh"),
+        F.round("jw_path", 6).alias("jw_path"),
+        F.round("lev_path", 6).alias("lev_path"),
+        "exact_sha",
+        F.round("match_p", 6).alias("match_p"),
+    )
+
+
+def q_match_edges(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+def q_clusters(spark, sf_dir):
+    """Stage D connected components (KBP clustering analog)."""
+    return _clusters(spark, sf_dir)
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram (``value_counts`` report analog, §2.5 A7)."""
+    sizes = _clusters(spark, sf_dir).groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+
+
+def q_confusion(spark, sf_dir):
+    """Pairwise confusion counts vs gold over the candidate-pair universe
+    (classification_report analog, §2.5 A9)."""
+    ing = _ingested(spark, sf_dir).persist()
+    with_sig = blocking.with_lsh_columns(ing)
+    reps = blocking.representatives(with_sig)
+    pairs = blocking.candidate_pairs(
+        blocking.block_membership(
+            reps.select("file_id", "lang", "path_stem", "band_keys")
+        ).select("file_id", "block_key")
+    )
+    sha = blocking.exact_dup_edges(ing)
+    universe = (
+        pairs.select("left_id", "right_id", "block_key")
+        .unionByName(sha.select("left_id", "right_id", "block_key"))
+        .groupBy("left_id", "right_id")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    gold = ing.select("file_id", "gold_cluster")
+    labeled = evaluate.labeled_pairs(universe, gold)
+
+    features = scoring.with_embedding(with_sig).select(
+        "file_id", "path", "content_sha", "shingles", "embedding"
+    )
+    scored = scoring.score_pairs(pairs, features)
+    edges = (
+        scoring.match_edges(scored)
+        .unionByName(sha.select("left_id", "right_id"))
+        .distinct()
+        .persist()
+    )
+    clusters = clustering.connected_components(edges, ing.select("file_id"))
+    pred = evaluate.predicted_pair_labels(labeled, clusters)
+    return evaluate.pairwise_confusion(pred).select(
+        "is_match", "pred_match", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_blocking_recall(spark, sf_dir):
+    """Gold-pair coverage of blocking — the recall@k analog
+    (``blink/main_dense.py:536-553``)."""
+    ing = _ingested(spark, sf_dir).persist()
+    gold = ing.select("file_id", "gold_cluster")
+    pos = evaluate.gold_positive_pairs(gold)
+    with_sig = blocking.with_lsh_columns(ing)
+    reps = blocking.representatives(with_sig)
+    pairs = blocking.candidate_pairs(
+        blocking.block_membership(
+            reps.select("file_id", "lang", "path_stem", "band_keys")
+        ).select("file_id", "block_key")
+    )
+    sha = blocking.exact_dup_edges(ing)
+    universe = (
+        pairs.select("left_id", "right_id")
+        .unionByName(sha.select("left_id", "right_id"))
+        .distinct()
+    )
+    hit = pos.join(universe, ["left_id", "right_id"], "left_semi")
+    return (
+        pos.agg(F.count("*").cast("long").alias("n_gold_pairs"))
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_gold_pairs",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_gold_pairs"), 6).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — the independent recomputation
+# ---------------------------------------------------------------------------
+
+def _cte_chain(sf: float) -> str:
+    """WITH-chain recomputing every stage in DuckDB over the same parquet."""
+    from blink_spark.fixtures import fixture_path
+
+    toks = minhash.sql_tokens("content")
+    shingles = minhash.sql_shingles("tokens")
+    hashes = minhash.sql_shingle_hashes("shingles")
+    sig = minhash.sql_minhash_signature("sh_hashes")
+    bands = minhash.sql_band_keys("msig")
+    emb = scoring.sql_embedding("sh_hashes")
+    match_p = scoring.sql_match_p(
+        "cosine", "jaccard_sh", "jw_path", "lev_path", "exact_sha"
+    )
+    return f"""
+WITH src AS (
+  SELECT repo, path, commit, lang, content, gold_cluster
+  FROM read_parquet('{fixture_path(sf)}')
+),
+ing0 AS (
+  SELECT repo, path, commit, lang, gold_cluster,
+         sha256(repo || chr(0) || path || chr(0) || commit) AS file_id,
+         sha256(content) AS content_sha,
+         regexp_replace(list_extract(string_split(path, '/'), -1),
+                        '\\.[^.]*$', '') AS path_stem,
+         list_extract(string_split(path, '/'), -1) AS base,
+         path AS fpath,
+         {toks} AS tokens
+  FROM src
+),
+ing1 AS (SELECT *, {shingles} AS shingles, len(tokens) AS n_tokens FROM ing0),
+ing AS (SELECT *, {hashes} AS sh_hashes FROM ing1),
+sig AS (SELECT *, {sig} AS msig FROM ing),
+bands AS (
+  SELECT *, list_transform({bands}, k -> 'mh:' || k) AS band_keys FROM sig
+),
+reps AS (
+  SELECT * FROM bands
+  QUALIFY row_number() OVER (PARTITION BY content_sha ORDER BY file_id) = 1
+),
+memb AS (
+  SELECT file_id, 'ck:' || lang || ':' || path_stem AS block_key FROM reps
+  UNION ALL
+  SELECT file_id, unnest(band_keys) AS block_key FROM reps
+),
+pairs AS (
+  SELECT l.file_id AS left_id, r.file_id AS right_id,
+         min(l.block_key) AS block_key
+  FROM memb l JOIN memb r
+    ON l.block_key = r.block_key AND l.file_id < r.file_id
+  GROUP BY 1, 2
+),
+feat AS (
+  SELECT file_id, fpath, base, content_sha, shingles,
+         {emb} AS embedding
+  FROM bands
+),
+scored AS (
+  SELECT p.left_id, p.right_id, p.block_key,
+         list_dot_product(lf.embedding, rf.embedding) AS cosine,
+         CAST(len(list_intersect(lf.shingles, rf.shingles)) AS DOUBLE)
+           / len(list_distinct(lf.shingles || rf.shingles)) AS jaccard_sh,
+         jaro_winkler_similarity(lf.base, rf.base) AS jw_path,
+         1.0 - CAST(levenshtein(lf.fpath, rf.fpath) AS DOUBLE)
+             / greatest(len(lf.fpath), len(rf.fpath)) AS lev_path,
+         lf.content_sha = rf.content_sha AS exact_sha
+  FROM pairs p
+  JOIN feat lf ON p.left_id = lf.file_id
+  JOIN feat rf ON p.right_id = rf.file_id
+),
+scored_p AS (SELECT *, {match_p} AS match_p FROM scored),
+sha_edges AS (
+  SELECT * FROM (
+    SELECT min(file_id) OVER (PARTITION BY content_sha) AS left_id,
+           file_id AS right_id
+    FROM ing
+  ) WHERE left_id <> right_id
+),
+match_edges AS (
+  SELECT left_id, right_id FROM scored_p WHERE match_p >= {scoring.MATCH_TAU}
+  UNION
+  SELECT left_id, right_id FROM sha_edges
+),
+sym AS (
+  SELECT left_id AS src, right_id AS dst FROM match_edges
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM match_edges
+),
+walk(node, lbl) AS (
+  SELECT file_id, file_id FROM ing
+  UNION
+  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node
+),
+clusters AS (
+  SELECT node AS file_id, min(lbl) AS cluster_id FROM walk GROUP BY node
+)
+"""
+
+
+def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
+    c = _cte_chain(sf)
+    # recursive CTE must be declared on the WITH; prepend keyword
+    c = c.replace("WITH src AS", "WITH RECURSIVE src AS", 1)
+    return {
+        "er_ingest": c
+        + "SELECT file_id, content_sha, lang, path_stem, n_tokens FROM ing",
+        "er_block_membership": c + "SELECT file_id, block_key FROM memb",
+        "er_candidate_pairs": c
+        + "SELECT left_id, right_id, block_key FROM pairs",
+        "er_sha_edges": c + "SELECT left_id, right_id FROM sha_edges",
+        "er_scored_pairs": c
+        + """SELECT left_id, right_id, block_key,
+               round(cosine, 6) AS cosine,
+               round(jaccard_sh, 6) AS jaccard_sh,
+               round(jw_path, 6) AS jw_path,
+               round(lev_path, 6) AS lev_path,
+               exact_sha,
+               round(match_p, 6) AS match_p
+             FROM scored_p""",
+        "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
+        "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
+        "er_cluster_sizes": c
+        + """SELECT n_members, count(*) AS n_clusters FROM (
+               SELECT cluster_id, count(*) AS n_members
+               FROM clusters GROUP BY cluster_id
+             ) GROUP BY n_members""",
+        "er_confusion": c
+        + """, universe AS (
+               SELECT left_id, right_id, min(block_key) AS block_key FROM (
+                 SELECT left_id, right_id, block_key FROM pairs
+                 UNION ALL
+                 SELECT left_id, right_id, 'sha' AS block_key FROM sha_edges
+               ) GROUP BY left_id, right_id
+             ),
+             labeled AS (
+               SELECT u.left_id, u.right_id,
+                      gl.gold_cluster = gr.gold_cluster AS is_match,
+                      cl.cluster_id = cr.cluster_id AS pred_match
+               FROM universe u
+               JOIN ing gl ON u.left_id = gl.file_id
+               JOIN ing gr ON u.right_id = gr.file_id
+               JOIN clusters cl ON u.left_id = cl.file_id
+               JOIN clusters cr ON u.right_id = cr.file_id
+             )
+             SELECT is_match, pred_match, count(*) AS n
+             FROM labeled GROUP BY is_match, pred_match""",
+        "er_blocking_recall": c
+        + """, pos AS (
+               SELECT a.file_id AS left_id, b.file_id AS right_id
+               FROM ing a JOIN ing b
+                 ON a.gold_cluster = b.gold_cluster
+                AND a.file_id < b.file_id
+             ),
+             universe AS (
+               SELECT left_id, right_id FROM pairs
+               UNION
+               SELECT left_id, right_id FROM sha_edges
+             ),
+             hit AS (
+               SELECT p.* FROM pos p
+               JOIN universe u
+                 ON p.left_id = u.left_id AND p.right_id = u.right_id
+             )
+             SELECT (SELECT count(*) FROM pos) AS n_gold_pairs,
+                    (SELECT count(*) FROM hit) AS n_hit,
+                    round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                          / (SELECT count(*) FROM pos), 6) AS recall""",
+    }
+
+
+QUERIES = {
+    "er_ingest": q_ingest,
+    "er_block_membership": q_block_membership,
+    "er_candidate_pairs": q_candidate_pairs,
+    "er_sha_edges": q_sha_edges,
+    "er_scored_pairs": q_scored_pairs,
+    "er_match_edges": q_match_edges,
+    "er_clusters": q_clusters,
+    "er_cluster_sizes": q_cluster_sizes,
+    "er_confusion": q_confusion,
+    "er_blocking_recall": q_blocking_recall,
+}

@@ -1,0 +1,72 @@
+"""Replicates the driver's verify loop locally (at sf0.001 for speed):
+run every ``queries()[name]`` on Spark AND its ``oracle_sql()[name]`` on
+DuckDB, then compare row count, column names, and order-insensitive values
+— so a CORRECTNESS_r{N}.json mismatch never happens first in the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from blink_spark import er_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in idx) for r in rows
+    ), [cols[i] for i in idx]
+
+
+@pytest.fixture(scope="module")
+def oracle_sqls():
+    return er_queries.oracle_sqls(sf=0.001)
+
+
+@pytest.mark.parametrize("name", sorted(er_queries.QUERIES))
+def test_query_matches_oracle(spark, duck, name, oracle_sqls):
+    sdf = er_queries.QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(oracle_sqls[name])
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+
+    sset, sorted_cols_s = _rowset(scols, srows)
+    dset, sorted_cols_d = _rowset(dcols, drows)
+    assert sorted_cols_s == sorted_cols_d, f"{name}: column names diverge"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} (spark) vs {len(drows)} (duckdb)"
+    )
+    if sset != dset:
+        diff_s = [r for r in sset if r not in set(dset)][:5]
+        diff_d = [r for r in dset if r not in set(sset)][:5]
+        raise AssertionError(
+            f"{name}: values diverge.\n spark-only: {diff_s}\n duck-only: {diff_d}"
+        )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["file_id", "cluster_id"]
