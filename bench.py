@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; see BASELINE.md for targets).
+
+Default mode: runs the full record-linkage pipeline on the deterministic
+fixture corpus for $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], timing each stage, and prints ONE JSON line:
+
+    {"metric": "er_pipeline_total", "value": <sec>, "unit": "sec",
+     "queries": {"ingest_signatures": s, "blocking": s, "scoring": s,
+                 "clustering": s, "evaluate": s},
+     "sf": 0.1, "rows": n, "pairs_scored": n, "pairs_scored_per_sec": r,
+     "f1": f, "cpus": c}
+
+--scaling mode (north-rule evidence, BASELINE.json): measures the
+candidate-pairs-scored/sec throughput of the scoring stage at two
+parallelism levels (local[N] vs local[4N], same input, same plan —
+shuffle partitions pinned) and reports scaling efficiency
+throughput(4N) / (4 * throughput(N)). In this sandbox parallelism levels
+stand in for executor counts (no real cluster); the pipeline itself is
+partition-parallel with no driver-side loops, so the same measurement
+applies executor-for-executor on a cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+
+
+def _build_stages(spark, sf_dir):
+    """Stage DataFrames (un-materialized) for the fixture at sf_dir's scale."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from blink_spark import blocking, scoring
+    from blink_spark.er_queries import load_source
+    from blink_spark.ingest import ingest
+
+    src = load_source(spark, sf_dir)
+    ing = ingest(src)
+    with_sig = blocking.with_lsh_columns(ing).select(
+        "file_id", "content_sha", "path", "path_stem", "lang",
+        "n_tokens", "shingles", "shingle_hashes", "minhash_sig", "band_keys",
+    )
+    return src, ing, with_sig
+
+
+def run_full(sf_dir: str, cpus: int) -> dict:
+    from blink_spark import blocking, clustering, evaluate, scoring
+    from blink_spark.fixtures import sf_from_dir
+    from blink_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="blink_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    _quiet(spark)
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    t0 = time.monotonic()
+    src, ing, with_sig = _build_stages(spark, sf_dir)
+    ing = ing.persist()
+    with_sig = with_sig.persist()
+    n_rows = with_sig.count()
+    timings["ingest_signatures"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    reps = blocking.representatives(with_sig)
+    membership = blocking.block_membership(
+        reps.select("file_id", "lang", "path_stem", "band_keys")
+    )
+    pairs = blocking.candidate_pairs(
+        membership.select("file_id", "block_key")
+    ).persist()
+    n_pairs = pairs.count()
+    sha_edges = blocking.exact_dup_edges(ing).persist()
+    n_sha = sha_edges.count()
+    timings["blocking"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    features = scoring.with_embedding(with_sig).select(
+        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
+    )
+    scored = scoring.score_pairs(pairs, features)
+    # persist only the thin projection downstream needs; caching the wide
+    # scored table (ids + 6 feature columns × 3M rows) costs more than the
+    # whole feature computation
+    thresholded = scoring.match_edges(scored).persist()
+    n_match = thresholded.count()  # forces every feature on every pair
+    n_scored = n_pairs
+    timings["scoring"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    edges = (
+        thresholded
+        .unionByName(sha_edges.select("left_id", "right_id"))
+        .distinct()
+        .persist()
+    )
+    clusters = clustering.connected_components(
+        edges, ing.select("file_id")
+    ).persist()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    timings["clustering"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    from pyspark.sql import functions as F
+
+    universe = (
+        pairs.select("left_id", "right_id", "block_key")
+        .unionByName(sha_edges.select("left_id", "right_id", "block_key"))
+        .groupBy("left_id", "right_id")
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    labeled = evaluate.labeled_pairs(universe, ing.select("file_id", "gold_cluster"))
+    pred = evaluate.predicted_pair_labels(labeled, clusters)
+    metrics = evaluate.pairwise_f1(pred)
+    timings["evaluate"] = time.monotonic() - t0
+
+    total = time.monotonic() - t_all
+    result = {
+        "metric": "er_pipeline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_from_dir(sf_dir),
+        "rows": n_rows,
+        "pairs_scored": n_scored,
+        "match_edges": n_match,
+        "sha_edges": n_sha,
+        "pairs_scored_per_sec": round(n_scored / timings["scoring"], 1),
+        "n_clusters": n_clusters,
+        "f1": round(metrics["f1"], 6),
+        "precision": round(metrics["precision"], 6),
+        "recall": round(metrics["recall"], 6),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict:
+    """Candidate-pairs-scored/sec with the scoring input pre-materialized,
+    so the measurement isolates the stage the north rule names."""
+    from blink_spark import blocking, scoring
+    from blink_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"blink_spark_scale_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_partitions,
+    )
+    _quiet(spark)
+    src, ing, with_sig = _build_stages(spark, sf_dir)
+    with_sig = with_sig.persist()
+    with_sig.count()
+    reps = blocking.representatives(with_sig)
+    membership = blocking.block_membership(
+        reps.select("file_id", "lang", "path_stem", "band_keys")
+    )
+    pairs = blocking.candidate_pairs(
+        membership.select("file_id", "block_key")
+    ).persist()
+    n_pairs = pairs.count()
+    features = scoring.with_embedding(with_sig).select(
+        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
+    ).persist()
+    features.count()
+
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    # aggregate over match_p so Catalyst cannot prune the feature columns —
+    # a bare count() would skip the entire scoring computation
+    scored = scoring.score_pairs(pairs, features)
+    row = scored.agg(
+        F.count("*").alias("n"), F.sum("match_p").alias("s")
+    ).collect()[0]
+    wall = time.monotonic() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "pairs_scored": row["n"],
+        "wall_s": round(wall, 3),
+        "pairs_per_sec": round(row["n"] / wall, 1),
+    }
+
+
+def run_scaling(sf_dir: str, n: int, repeats: int = 2) -> dict:
+    """local[n] vs local[4n]; identical plans (shuffle partitions pinned to
+    4n for both runs). Best-of-`repeats` per level to damp JIT/startup noise."""
+    parts = 4 * n
+    lo = min(
+        (_scoring_throughput(sf_dir, n, parts) for _ in range(repeats)),
+        key=lambda r: r["wall_s"],
+    )
+    hi = min(
+        (_scoring_throughput(sf_dir, 4 * n, parts) for _ in range(repeats)),
+        key=lambda r: r["wall_s"],
+    )
+    eff = hi["pairs_per_sec"] / (4 * lo["pairs_per_sec"])
+    from blink_spark.fixtures import sf_from_dir
+
+    return {
+        "metric": "scaling_efficiency_scoring",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_from_dir(sf_dir),
+        "low": lo,
+        "high": hi,
+        "speedup": round(hi["pairs_per_sec"] / lo["pairs_per_sec"], 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--n", type=int, default=8, help="low parallelism for --scaling")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir, args.n)))
+    else:
+        print(json.dumps(run_full(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,7 @@ def _scored(spark, sf_dir):
         ).select("file_id", "block_key")
     )
     features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingles", "embedding"
+        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
     )
     return scoring.score_pairs(pairs, features)
 
@@ -174,7 +174,7 @@ def q_confusion(spark, sf_dir):
     labeled = evaluate.labeled_pairs(universe, gold)
 
     features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingles", "embedding"
+        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
     )
     scored = scoring.score_pairs(pairs, features)
     edges = (
@@ -277,15 +277,15 @@ pairs AS (
   GROUP BY 1, 2
 ),
 feat AS (
-  SELECT file_id, fpath, base, content_sha, shingles,
+  SELECT file_id, fpath, base, content_sha, sh_hashes,
          {emb} AS embedding
   FROM bands
 ),
 scored AS (
   SELECT p.left_id, p.right_id, p.block_key,
          list_dot_product(lf.embedding, rf.embedding) AS cosine,
-         CAST(len(list_intersect(lf.shingles, rf.shingles)) AS DOUBLE)
-           / len(list_distinct(lf.shingles || rf.shingles)) AS jaccard_sh,
+         CAST(len(list_intersect(lf.sh_hashes, rf.sh_hashes)) AS DOUBLE)
+           / len(list_distinct(lf.sh_hashes || rf.sh_hashes)) AS jaccard_sh,
          jaro_winkler_similarity(lf.base, rf.base) AS jw_path,
          1.0 - CAST(levenshtein(lf.fpath, rf.fpath) AS DOUBLE)
              / greatest(len(lf.fpath), len(rf.fpath)) AS lev_path,

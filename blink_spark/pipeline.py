@@ -88,7 +88,7 @@ def run_pipeline(
     features = stage(
         "features",
         lambda: scoring.with_embedding(with_sig).select(
-            "file_id", "path", "content_sha", "shingles", "embedding"
+            "file_id", "path", "content_sha", "shingle_hashes", "embedding"
         ),
     )
     scored = stage("scored_pairs", lambda: scoring.score_pairs(pairs, features))
