@@ -85,6 +85,13 @@ def exact_dup_edges(ingested: DataFrame) -> DataFrame:
     )
 
 
+def rep_map(ingested: DataFrame) -> DataFrame:
+    """(file_id, rep_id) — every file mapped to its exact-duplicate
+    representative (min file_id per content_sha); reps map to themselves."""
+    w_min = F.min("file_id").over(Window.partitionBy("content_sha"))
+    return ingested.select("file_id", w_min.alias("rep_id"))
+
+
 def representatives(ingested: DataFrame) -> DataFrame:
     """One row per distinct content_sha: rep = min(file_id)."""
     w = Window.partitionBy("content_sha").orderBy("file_id")

@@ -110,6 +110,37 @@ def connected_components(
     )
 
 
+def connected_components_via_reps(
+    rep_edges: DataFrame, membership: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """CC over the exact-duplicate-collapsed graph, then propagate.
+
+    ``rep_edges(left_id, right_id)`` connects representative nodes only
+    (candidate pairs are generated over reps, so scored match edges are
+    rep-rep by construction); ``membership(file_id, rep_id)`` maps every
+    file to its representative. Because rep_id = min(file_id) within a
+    sha-duplicate group, the component minimum over reps IS the global
+    component minimum, so the propagated ids equal what CC over the full
+    graph (match edges ∪ sha star edges) would produce — without the mass
+    duplicates ever entering an iteration. At 10^12 files where boilerplate
+    repeats millions of times this shrinks the iterated graph by orders of
+    magnitude; it is the graph analog of the reference scoring only
+    distinct candidates (``blink/main_dense.py:104-173`` builds the
+    catalogue deduplicated by id).
+    """
+    reps = membership.select(F.col("rep_id").alias("file_id")).distinct()
+    rep_clusters = connected_components(rep_edges, reps, max_iter=max_iter)
+    return (
+        membership.join(
+            rep_clusters.select(
+                F.col("file_id").alias("rep_id"), "cluster_id"
+            ),
+            "rep_id",
+        )
+        .select("file_id", "cluster_id")
+    )
+
+
 def sql_connected_components(edges_rel: str, nodes_rel: str) -> str:
     """DuckDB oracle: min-label reachability via recursive CTE.
 

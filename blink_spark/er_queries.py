@@ -82,9 +82,10 @@ def _edges(spark, sf_dir):
 
 
 def _clusters(spark, sf_dir):
-    edges = _edges(spark, sf_dir).persist()
-    nodes = _ingested(spark, sf_dir).select("file_id")
-    return clustering.connected_components(edges, nodes)
+    scored = _scored(spark, sf_dir)
+    rep_edges = scoring.match_edges(scored).persist()
+    membership = blocking.rep_map(_ingested(spark, sf_dir))
+    return clustering.connected_components_via_reps(rep_edges, membership)
 
 
 # ---------------------------------------------------------------------------
@@ -177,13 +178,10 @@ def q_confusion(spark, sf_dir):
         "file_id", "path", "content_sha", "shingle_hashes", "embedding"
     )
     scored = scoring.score_pairs(pairs, features)
-    edges = (
-        scoring.match_edges(scored)
-        .unionByName(sha.select("left_id", "right_id"))
-        .distinct()
-        .persist()
+    rep_edges = scoring.match_edges(scored).persist()
+    clusters = clustering.connected_components_via_reps(
+        rep_edges, blocking.rep_map(ing)
     )
-    clusters = clustering.connected_components(edges, ing.select("file_id"))
     pred = evaluate.predicted_pair_labels(labeled, clusters)
     return evaluate.pairwise_confusion(pred).select(
         "is_match", "pred_match", F.col("n").cast("long").alias("n")

@@ -99,9 +99,16 @@ def run_pipeline(
             sha_edges.select("left_id", "right_id")
         ),
     )
-    nodes = ing.select("file_id")
+    # CC iterates over the rep-graph only (scored edges are rep-rep by
+    # construction); sha-duplicates inherit their rep's cluster id —
+    # identical result to CC over `edges`, minus the mass duplicates
+    rep_edges = scoring.match_edges(scored, conf.match_tau)
+    membership_reps = blocking.rep_map(ing)
     clusters = stage(
-        "clusters", lambda: clustering.connected_components(edges, nodes)
+        "clusters",
+        lambda: clustering.connected_components_via_reps(
+            rep_edges, membership_reps
+        ),
     )
 
     return {

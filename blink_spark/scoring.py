@@ -156,8 +156,12 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct-element arrays. |A∪B| is derived as
+    |A|+|B|−|A∩B| — one hash-set build per pair instead of two (array_union
+    costs the same as array_intersect; this halves the dominant scoring
+    expense)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
