@@ -34,12 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from blink_spark import er_queries
+    from blink_spark import er_queries, similarity, textops
 
-    return dict(er_queries.QUERIES)
+    return {
+        **er_queries.QUERIES,
+        **textops.QUERIES,
+        **similarity.QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    from blink_spark import er_queries
+    from blink_spark import er_queries, similarity, textops
 
-    return er_queries.oracle_sqls()
+    return {
+        **er_queries.oracle_sqls(),
+        **textops.oracle_sqls(),
+        **similarity.oracle_sqls(),
+    }

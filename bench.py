@@ -145,14 +145,28 @@ def run_full(sf_dir: str, cpus: int) -> dict:
 
 def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict:
     """Candidate-pairs-scored/sec with the scoring input pre-materialized,
-    so the measurement isolates the stage the north rule names."""
+    so the measurement isolates the stage the north rule names.
+
+    Run this in a FRESH process per parallelism level (run_scaling does):
+    spark.driver.memory only applies at the first JVM launch per process,
+    and an undersized heap turns the measurement into a GC benchmark.
+    Partitions are pinned well above the thread count so the stage runs
+    multiple waves — with exactly one wave the slowest partition sets the
+    wall clock and scaling efficiency measures skew, not throughput.
+    """
     from blink_spark import blocking, scoring
     from blink_spark.session import get_spark
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(
         app_name=f"blink_spark_scale_{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle_partitions,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum": str(
+                shuffle_partitions
+            )
+        },
     )
     _quiet(spark)
     src, ing, with_sig = _build_stages(spark, sf_dir)
@@ -190,27 +204,44 @@ def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict
     }
 
 
-def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) -> dict:
-    """local[n] vs local[4n]; identical plans (shuffle partitions pinned to
-    4n for both runs). Best-of-`repeats` per level to damp JIT/startup noise.
+def _throughput_subprocess(sf_dir: str, cpus: int, parts: int) -> dict:
+    """One measurement in a fresh python+JVM (clean heap, clean JIT)."""
+    import subprocess
 
-    Uses a larger fixture (sf=0.25, ~15M pairs) than the default bench so
+    out = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--scaling-level", str(cpus),
+            "--sf-dir", sf_dir,
+            "--parts", str(parts),
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) -> dict:
+    """local[n] vs local[4n], one fresh process per measurement; identical
+    plans (shuffle partitions pinned to 16n for both). Best-of-`repeats`
+    per level damps JIT/startup noise.
+
+    Uses a larger fixture (sf=0.25, ~19M pairs) than the default bench so
     the parallel scoring work dominates the per-action serial costs
     (broadcast builds, final agg) — at sf0.1 the stage finishes in ~15s on
-    32 threads and Amdahl's fixed ~8-10s floors the efficiency ratio.
+    32 threads and Amdahl's fixed serial seconds floor the efficiency ratio.
     """
     if sf is not None:
         from blink_spark.fixtures import ensure_fixture
 
         ensure_fixture(sf)  # generate once before timing
         sf_dir = f"/root/testdata/sf{sf}"  # resolved back to the fixture
-    parts = 4 * n
+    parts = 16 * n
     lo = min(
-        (_scoring_throughput(sf_dir, n, parts) for _ in range(repeats)),
+        (_throughput_subprocess(sf_dir, n, parts) for _ in range(repeats)),
         key=lambda r: r["wall_s"],
     )
     hi = min(
-        (_scoring_throughput(sf_dir, 4 * n, parts) for _ in range(repeats)),
+        (_throughput_subprocess(sf_dir, 4 * n, parts) for _ in range(repeats)),
         key=lambda r: r["wall_s"],
     )
     eff = hi["pairs_per_sec"] / (4 * lo["pairs_per_sec"])
@@ -230,12 +261,18 @@ def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--n", type=int, default=8, help="low parallelism for --scaling")
+    ap.add_argument("--n", type=int, default=4, help="low parallelism for --scaling")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--scaling-sf", type=float, default=0.25)
+    ap.add_argument("--scaling-level", type=int, default=None,
+                    help="internal: run ONE throughput measurement and exit")
+    ap.add_argument("--parts", type=int, default=128)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+    if args.scaling_level:
+        print(json.dumps(_scoring_throughput(args.sf_dir, args.scaling_level, args.parts)))
+        return
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.n, args.repeats, args.scaling_sf)))
     else:

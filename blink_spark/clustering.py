@@ -84,6 +84,11 @@ def connected_components(
         edges.select(F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # truncate the upstream lineage BEFORE iterating: each star round
+        # references its input several times (symmetrize + groupBy + join),
+        # and without this the full blocking+scoring DAG re-executes per
+        # reference on the first round
+        .localCheckpoint(eager=True)
     )
     prev = None
     for _ in range(max_iter):

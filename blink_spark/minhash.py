@@ -91,6 +91,30 @@ def shingles_col(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def grams_col(tokens: Column, k: int) -> Column:
+    """ORDERED k-word grams (no dedup, no fallback) — the sequence input
+    for winnowing fingerprints, where window position matters. Rows with
+    fewer than k tokens yield an empty list."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= F.lit(k), grams).otherwise(F.array().cast("array<string>"))
+
+
+def sql_grams(tokens_expr: str, k: int) -> str:
+    gram_parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return (
+        f"(SELECT CASE WHEN len(__t) >= {k} THEN "
+        f"list_transform(range(1, len(__t) - {k} + 2), i -> {gram_parts}) "
+        f"ELSE [] END FROM (SELECT {tokens_expr} AS __t))"
+    )
+
+
 def base_hash_col(s: Column) -> Column:
     """60-bit engine-agnostic hash: first 15 hex chars of md5."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

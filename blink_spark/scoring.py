@@ -98,9 +98,9 @@ def sql_embedding(hashes_expr: str, dim: int = EMBED_DIM) -> str:
 
 def _jaro(s1: str, s2: str) -> float:
     len1, len2 = len(s1), len(s2)
-    if len1 == 0 and len2 == 0:
-        return 1.0
     if len1 == 0 or len2 == 0:
+        # both-empty included: DuckDB jaro_winkler_similarity('','') = 0,
+        # and the oracle defines parity
         return 0.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
@@ -228,11 +228,23 @@ def score_pairs(
     )
     if broadcast_features:
         feat = F.broadcast(feat)
-    lf = feat.select(*[F.col(c).alias(f"l_{c}") for c in feat.columns])
-    rf = feat.select(*[F.col(c).alias(f"r_{c}") for c in feat.columns])
-    df = (
-        pairs.join(lf, pairs["left_id"] == lf["l_file_id"])
-        .join(rf, pairs["right_id"] == rf["r_file_id"])
+    # join the SAME un-aliased feature subtree twice and rename AFTER each
+    # join: both broadcast exchanges canonicalize identically, so Catalyst
+    # reuses one built hash relation (ReusedExchange) — with per-side
+    # aliased projections below the exchange it would build, serialize and
+    # ship the ~payload twice, pure serial time at every scale
+    feat_cols = feat.columns
+    pair_cols = pairs.columns
+    fa, fb = feat.alias("__fa"), feat.alias("__fb")
+    j1 = pairs.join(fa, pairs["left_id"] == F.col("__fa.file_id"))
+    j1 = j1.select(
+        *[pairs[c] for c in pair_cols],
+        *[F.col(f"__fa.{c}").alias(f"l_{c}") for c in feat_cols],
+    )
+    df = j1.join(fb, F.col("right_id") == F.col("__fb.file_id"))
+    df = df.select(
+        *[j1[c] for c in j1.columns],
+        *[F.col(f"__fb.{c}").alias(f"r_{c}") for c in feat_cols],
     )
     df = df.withColumn("cosine", cosine_col(F.col("l_embedding"), F.col("r_embedding")))
     df = df.withColumn(

@@ -1,0 +1,415 @@
+"""Training-data text operators over the ``documents`` table: exact +
+near-duplicate detection, SimHash fingerprints, token/quality statistics,
+heuristic language ID, winnowing document fingerprints.
+
+These generalize the record-linkage engine's primitives (sha dedup,
+MinHash-LSH blocking, jaccard scoring, connected components — SURVEY.md
+§2.4, §2.8) from source-code files to a generic document corpus: the
+operations a large-scale training-data pipeline runs before anything else.
+Every query has a DuckDB oracle that recomputes it independently over the
+pre-registered ``documents`` view.
+
+All hot-path transforms are JVM column expressions; SimHash is the one
+Arrow-batched numpy kernel (bit-majority over 60-bit shingle hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from blink_spark import clustering, minhash, scoring
+
+SIMHASH_BITS = 60  # base_hash is 60-bit (15 hex chars of md5)
+NEAR_DUP_TAU = 0.5
+WINNOW_K = 4  # k-gram width for winnowing
+WINNOW_W = 5  # window width
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"]
+
+LANG_PROFILES = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "that", "with"],
+    "es": ["el", "los", "de", "y", "en", "que", "un", "para", "con", "por"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "pour", "que", "dans"],
+}
+LANG_ORDER = sorted(LANG_PROFILES)  # deterministic argmax tie-break order
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    toks = minhash.tokens_col(F.col("text"))
+    df = docs.withColumn("tokens", toks)
+    df = df.withColumn("shingles", minhash.shingles_col(F.col("tokens")))
+    return df.withColumn(
+        "sh_hashes", minhash.shingle_hashes_col(F.col("shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on sha2(text) → representative + count
+    (map-side combined; the dedup primitive of any corpus pipeline)."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting (whitespace/alnum tokenizer): totals, distincts,
+    type-token ratio, mean token length."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    n = F.size("tokens")
+    total_len = F.aggregate(
+        F.transform(F.col("tokens"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct("tokens")) / n).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: character-class ratios + stopword ratio combined
+    into a fixed logistic score (the NIL-predictor shape applied to
+    corpus filtering)."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    n_tok = F.size("tokens")
+    stop_n = F.size(
+        F.filter(F.col("tokens"), lambda t: t.isin(STOPWORDS))
+    )
+    alpha_r = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    digit_r = F.when(n_chars > 0, digit / n_chars).otherwise(F.lit(0.0))
+    space_r = F.when(n_chars > 0, space / n_chars).otherwise(F.lit(0.0))
+    stop_r = F.when(n_tok > 0, stop_n / n_tok).otherwise(F.lit(0.0))
+    z = F.lit(-1.0) + 3.0 * alpha_r + 2.0 * stop_r - 4.0 * digit_r
+    return df.select(
+        "doc_id",
+        F.round(alpha_r, 6).alias("alpha_ratio"),
+        F.round(digit_r, 6).alias("digit_ratio"),
+        F.round(space_r, 6).alias("space_ratio"),
+        F.round(stop_r, 6).alias("stopword_ratio"),
+        F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("quality"),
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    """Heuristic language ID: distinct-token overlap with tiny per-language
+    stopword profiles; deterministic argmax (fixed evaluation order)."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    toks_d = F.array_distinct("tokens")
+    n_d = F.size(toks_d)
+    scores = {
+        lang: F.when(
+            n_d > 0,
+            F.size(F.array_intersect(toks_d, F.array(*[F.lit(w) for w in prof])))
+            / n_d,
+        ).otherwise(F.lit(0.0))
+        for lang, prof in LANG_PROFILES.items()
+    }
+    df = df.select(
+        "doc_id", *[F.round(s, 6).alias(f"s_{lang}") for lang, s in scores.items()]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):  # earlier langs win ties
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    return df.select(
+        "doc_id", pred.alias("pred_lang"), F.round(best, 6).alias("score")
+    )
+
+
+def _simhash_batch(hashes: pd.Series) -> pd.Series:
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, v in enumerate(hashes):
+        if v is None or len(v) == 0:
+            continue
+        h = np.asarray(v, dtype=np.int64)
+        bits = (h[:, None] >> shifts[None, :]) & 1  # [m × 60]
+        maj = (2 * bits - 1).sum(axis=0) > 0
+        out[i] = int((maj.astype(np.int64) << shifts).sum())
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(_simhash_batch, LongType())
+
+
+def q_doc_simhash(spark, sf_dir):
+    """60-bit SimHash over shingle hashes (bit-majority), plus 4×15-bit
+    band keys for hamming-bucket blocking."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    df = df.select("doc_id", simhash_udf(F.col("sh_hashes")).alias("simhash"))
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), 15 * j).bitwiseAND(F.lit((1 << 15) - 1))
+        .cast("long")
+        .alias(f"band{j}")
+        for j in range(4)
+    ]
+    return df.select("doc_id", "simhash", *bands)
+
+
+def _near_dup_pairs(spark, sf_dir):
+    df = _with_tokens(load_documents(spark, sf_dir))
+    df = df.withColumn(
+        "minhash_sig", minhash.minhash_signature_col(F.col("sh_hashes"))
+    ).withColumn("band_keys", minhash.band_keys_col(F.col("minhash_sig")))
+    memb = df.select("doc_id", "sh_hashes", F.explode("band_keys").alias("bk"))
+    l = memb.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("sh_hashes").alias("l_h"),
+        "bk",
+    )
+    r = memb.select(
+        F.col("doc_id").alias("right_id"),
+        F.col("sh_hashes").alias("r_h"),
+        "bk",
+    )
+    pairs = (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_h", "r_h")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return pairs.withColumn(
+        "jaccard", scoring.jaccard_col(F.col("l_h"), F.col("r_h"))
+    ).filter(F.col("jaccard") >= NEAR_DUP_TAU)
+
+
+def q_doc_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs with exact jaccard confirmation —
+    the shingle→minhash→band→bucket-join dedup pattern."""
+    return _near_dup_pairs(spark, sf_dir).select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-duplicate groups: connected components over the LSH pairs."""
+    edges = _near_dup_pairs(spark, sf_dir).select("left_id", "right_id")
+    nodes = load_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id")
+    )
+    cc = clustering.connected_components(
+        edges.select(
+            F.col("left_id").alias("left_id"), F.col("right_id").alias("right_id")
+        ),
+        nodes,
+    )
+    return cc.select(
+        F.col("file_id").alias("doc_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al.): rolling k-gram hashes,
+    per-window minimum, distinct — the standard plagiarism/near-dup
+    document signature."""
+    docs = load_documents(spark, sf_dir)
+    toks = minhash.tokens_col(F.col("text"))
+    grams = minhash.grams_col(toks, WINNOW_K)
+    gh = F.transform(grams, minhash.base_hash_col)
+    df = docs.select("doc_id", gh.alias("gh"))
+    n = F.size("gh")
+    starts = F.sequence(F.lit(1), n - F.lit(WINNOW_W - 1))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(F.col("gh"), i, WINNOW_W)))
+    fps = F.when(n >= F.lit(WINNOW_W), F.array_distinct(mins)).otherwise(
+        F.array_distinct(F.col("gh"))
+    )
+    return df.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) over the pre-registered `documents` view
+# ---------------------------------------------------------------------------
+
+def _doc_cte() -> str:
+    toks = minhash.sql_tokens("text")
+    shingles = minhash.sql_shingles("tokens")
+    hashes = minhash.sql_shingle_hashes("shingles")
+    return f"""
+WITH d0 AS (SELECT doc_id, text, {toks} AS tokens FROM documents),
+d1 AS (SELECT *, {shingles} AS shingles FROM d0),
+docs AS (SELECT *, {hashes} AS sh_hashes FROM d1)
+"""
+
+
+def oracle_sqls() -> dict[str, str]:
+    c = _doc_cte()
+    sql = {}
+    sql["doc_exact_dedup"] = """
+SELECT sha256(text) AS text_sha, min(doc_id) AS rep_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1"""
+
+    sql["doc_token_stats"] = c + """
+SELECT doc_id,
+  len(tokens) AS n_tokens,
+  len(list_distinct(tokens)) AS n_distinct_tokens,
+  len(text) AS n_chars,
+  round(CASE WHEN len(tokens) > 0 THEN
+    CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE) / len(tokens)
+    ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN len(tokens) > 0 THEN
+    CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+    ELSE 0.0 END, 6) AS type_token_ratio
+FROM docs"""
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sql["doc_quality"] = c + f"""
+SELECT doc_id,
+  round(alpha_r, 6) AS alpha_ratio,
+  round(digit_r, 6) AS digit_ratio,
+  round(space_r, 6) AS space_ratio,
+  round(stop_r, 6) AS stopword_ratio,
+  round(1.0 / (1.0 + exp(-(-1.0 + 3.0*alpha_r + 2.0*stop_r - 4.0*digit_r))), 6)
+    AS quality
+FROM (
+  SELECT doc_id,
+    CASE WHEN len(text) > 0 THEN
+      CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/len(text)
+      ELSE 0.0 END AS alpha_r,
+    CASE WHEN len(text) > 0 THEN
+      CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/len(text)
+      ELSE 0.0 END AS digit_r,
+    CASE WHEN len(text) > 0 THEN
+      CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)/len(text)
+      ELSE 0.0 END AS space_r,
+    CASE WHEN len(tokens) > 0 THEN
+      CAST(len(list_filter(tokens, t -> list_contains([{stop_list}], t)))
+           AS DOUBLE)/len(tokens) ELSE 0.0 END AS stop_r
+  FROM docs
+)"""
+
+    lang_scores = ", ".join(
+        f"CASE WHEN len(toks_d) > 0 THEN "
+        f"CAST(len(list_intersect(toks_d, [{', '.join(repr(w) for w in prof)}])) "
+        f"AS DOUBLE)/len(toks_d) ELSE 0.0 END AS s_{lang}"
+        for lang, prof in LANG_PROFILES.items()
+    )
+    best = f"greatest({', '.join('s_' + la for la in LANG_ORDER)})"
+    pred_chain = "CASE "
+    for lang in LANG_ORDER:
+        pred_chain += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    pred_chain += "END"
+    sql["doc_langid"] = c + f"""
+SELECT doc_id,
+  CASE WHEN {best} > 0 THEN {pred_chain} ELSE 'unknown' END AS pred_lang,
+  round({best}, 6) AS score
+FROM (
+  SELECT doc_id, {lang_scores}
+  FROM (SELECT doc_id, list_distinct(tokens) AS toks_d FROM docs)
+)"""
+
+    bit_sum = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(sh_hashes, "
+        f"h -> 2*((h // {1 << b}) % 2) - 1)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    sql["doc_simhash"] = c + f"""
+SELECT doc_id, simhash,
+  (simhash // {1 << 0}) % 32768 AS band0,
+  (simhash // {1 << 15}) % 32768 AS band1,
+  (simhash // {1 << 30}) % 32768 AS band2,
+  (simhash // {1 << 45}) % 32768 AS band3
+FROM (
+  SELECT doc_id,
+    CASE WHEN len(sh_hashes) > 0 THEN ({bit_sum}) ELSE 0 END AS simhash
+  FROM docs
+)"""
+
+    sig = minhash.sql_minhash_signature("sh_hashes")
+    bands = minhash.sql_band_keys("msig")
+    lsh_cte = c + f""",
+sig AS (SELECT doc_id, sh_hashes, {sig} AS msig FROM docs),
+bands AS (SELECT doc_id, sh_hashes, {bands} AS band_keys FROM sig),
+memb AS (SELECT doc_id, sh_hashes, unnest(band_keys) AS bk FROM bands),
+nd_pairs AS (
+  SELECT left_id, right_id, jaccard FROM (
+    SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+      CAST(len(list_intersect(l.sh_hashes, r.sh_hashes)) AS DOUBLE)
+        / (len(l.sh_hashes) + len(r.sh_hashes)
+           - len(list_intersect(l.sh_hashes, r.sh_hashes))) AS jaccard
+    FROM memb l JOIN memb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+  ) WHERE jaccard >= {NEAR_DUP_TAU}
+)"""
+    sql["doc_near_dup_pairs"] = lsh_cte + """
+SELECT left_id, right_id, round(jaccard, 6) AS jaccard FROM nd_pairs"""
+
+    sql["doc_dup_clusters"] = (
+        lsh_cte
+        + """,
+sym AS (
+  SELECT left_id AS src, right_id AS dst FROM nd_pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM nd_pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node"""
+    ).replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
+
+    grams = minhash.sql_grams("tokens", WINNOW_K)
+    gh = f"list_transform(grams, __g -> {minhash.sql_base_hash('__g')})"
+    sql["doc_winnow_fingerprints"] = f"""
+WITH d0 AS (SELECT doc_id, {minhash.sql_tokens('text')} AS tokens FROM documents),
+d1 AS (SELECT doc_id, {grams} AS grams FROM d0),
+d2 AS (SELECT doc_id, {gh} AS gh FROM d1),
+d3 AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) >= {WINNOW_W} THEN
+      list_distinct(list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+                    i -> list_min(gh[i:i+{WINNOW_W - 1}])))
+    ELSE list_distinct(gh) END AS fps
+  FROM d2
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM d3"""
+    return sql
+
+
+QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+}

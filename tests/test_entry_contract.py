@@ -15,9 +15,11 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from blink_spark import er_queries
+from blink_spark import er_queries, similarity, textops
 
 SF_DIR = "/root/testdata/sf0.001"
+
+ALL_QUERIES = {**er_queries.QUERIES, **textops.QUERIES, **similarity.QUERIES}
 
 
 def _norm(v):
@@ -38,13 +40,23 @@ def _rowset(cols, rows):
 
 
 @pytest.fixture(scope="module")
-def oracle_sqls():
-    return er_queries.oracle_sqls(sf=0.001)
+def oracle_sqls(duck):
+    # mirror the driver harness: testdata tables pre-registered as views
+    for t in ["documents", "embeddings"]:
+        duck.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return {
+        **er_queries.oracle_sqls(sf=0.001),
+        **textops.oracle_sqls(),
+        **similarity.oracle_sqls(),
+    }
 
 
-@pytest.mark.parametrize("name", sorted(er_queries.QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(spark, duck, name, oracle_sqls):
-    sdf = er_queries.QUERIES[name](spark, SF_DIR)
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
