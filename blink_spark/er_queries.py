@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
 from blink_spark.fixtures import ensure_fixture, sf_from_dir
@@ -185,6 +186,60 @@ def q_confusion(spark, sf_dir):
     pred = evaluate.predicted_pair_labels(labeled, clusters)
     return evaluate.pairwise_confusion(pred).select(
         "is_match", "pred_match", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_block_census(spark, sf_dir):
+    """Block-size census — the skew instrument that drives salting
+    (SURVEY.md §4 skew row): per block-size bucket, how many blocks and
+    how many candidate pairs they would induce (n·(n−1)/2)."""
+    m = _membership(spark, sf_dir)
+    census = m.groupBy("block_key").agg(F.count("*").alias("n"))
+    return (
+        census.groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+        .select(
+            F.col("n").cast("long").alias("block_size"),
+            "n_blocks",
+            (F.col("n_blocks") * F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("induced_pairs"),
+        )
+    )
+
+
+def q_node_stats(spark, sf_dir):
+    """Per-node candidate-score stats over its top-k matches — the NIL
+    predictor's score features (max, second, mean, count;
+    ``scripts/prepare_nil_dataset.py:42-76``), via a rank window."""
+    s = _scored(spark, sf_dir)
+    per_node = s.select(
+        F.col("left_id").alias("node_id"),
+        F.col("right_id").alias("partner_id"),
+        F.col("match_p"),
+    ).unionByName(
+        s.select(
+            F.col("right_id").alias("node_id"),
+            F.col("left_id").alias("partner_id"),
+            F.col("match_p"),
+        )
+    )
+    # tie-break on partner_id: identical near-dup contents yield identical
+    # match_p, and an undefined order would diverge from the oracle
+    w = Window.partitionBy("node_id").orderBy(
+        F.desc("match_p"), F.asc("partner_id")
+    )
+    topk = per_node.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    return topk.groupBy("node_id").agg(
+        F.round(F.max("match_p"), 6).alias("p_max"),
+        F.round(
+            F.coalesce(F.max(F.when(F.col("rk") == 2, F.col("match_p"))), F.lit(0.0)),
+            6,
+        ).alias("p_second"),
+        F.round(F.avg("match_p"), 6).alias("p_mean"),
+        F.count("*").cast("long").alias("n_cands"),
     )
 
 
@@ -368,6 +423,38 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
              )
              SELECT is_match, pred_match, count(*) AS n
              FROM labeled GROUP BY is_match, pred_match""",
+        "er_block_census": c
+        + """SELECT block_size, n_blocks,
+               CAST(n_blocks * block_size * (block_size - 1) / 2 AS BIGINT)
+                 AS induced_pairs
+             FROM (
+               SELECT n AS block_size, count(*) AS n_blocks FROM (
+                 SELECT block_key, count(*) AS n FROM memb GROUP BY block_key
+               ) GROUP BY n
+             )""",
+        "er_node_stats": c
+        + """, per_node AS (
+               SELECT left_id AS node_id, right_id AS partner_id, match_p
+               FROM scored_p
+               UNION ALL
+               SELECT right_id AS node_id, left_id AS partner_id, match_p
+               FROM scored_p
+             ),
+             topk AS (
+               SELECT * FROM (
+                 SELECT node_id, match_p, row_number() OVER (
+                   PARTITION BY node_id
+                   ORDER BY match_p DESC, partner_id ASC
+                 ) AS rk FROM per_node
+               ) WHERE rk <= 10
+             )
+             SELECT node_id,
+               round(max(match_p), 6) AS p_max,
+               round(coalesce(max(CASE WHEN rk = 2 THEN match_p END), 0.0), 6)
+                 AS p_second,
+               round(avg(match_p), 6) AS p_mean,
+               count(*) AS n_cands
+             FROM topk GROUP BY node_id""",
         "er_blocking_recall": c
         + """, pos AS (
                SELECT a.file_id AS left_id, b.file_id AS right_id
@@ -402,5 +489,7 @@ QUERIES = {
     "er_clusters": q_clusters,
     "er_cluster_sizes": q_cluster_sizes,
     "er_confusion": q_confusion,
+    "er_block_census": q_block_census,
+    "er_node_stats": q_node_stats,
     "er_blocking_recall": q_blocking_recall,
 }

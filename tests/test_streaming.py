@@ -1,0 +1,49 @@
+"""Streaming linkage: chunked arrival through Structured Streaming
+(foreachBatch + availableNow) must converge to the same clustering as the
+one-shot batch pipeline, independent of chunking."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark import streaming
+from blink_spark.fixtures import ensure_fixture
+from blink_spark.pipeline import run_pipeline
+
+
+def _canon(df):
+    return sorted((r["file_id"], r["cluster_id"]) for r in df.collect())
+
+
+def test_streamed_batches_equal_one_shot(spark, tmp_path):
+    pdf = pd.read_parquet(ensure_fixture(0.001))
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    third = len(pdf) // 3
+    pdf.iloc[:third].to_parquet(os.path.join(input_dir, "b1.parquet"), index=False)
+    pdf.iloc[third : 2 * third].to_parquet(
+        os.path.join(input_dir, "b2.parquet"), index=False
+    )
+    pdf.iloc[2 * third :].to_parquet(
+        os.path.join(input_dir, "b3.parquet"), index=False
+    )
+
+    q = streaming.stream_link(
+        spark,
+        input_dir,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+
+    got = _canon(streaming.latest_clusters(spark, str(tmp_path / "state")))
+
+    src = spark.read.parquet(ensure_fixture(0.001))
+    expected = _canon(run_pipeline(spark, src)["clusters"])
+    assert got == expected
