@@ -243,6 +243,24 @@ def q_node_stats(spark, sf_dir):
     )
 
 
+def q_review_queue(spark, sf_dir):
+    """HITL routing (SURVEY.md §2.10 I3): pairs in the confidence band go
+    to a human; outside auto-links/auto-rejects
+    (``scripts/feature_ablation_study.py:999-1016``; the reference's band
+    is [0.25, 0.75] — ours is wider because the fixed-weight combiner
+    separates the fixture corpus more sharply)."""
+    s = _scored(spark, sf_dir)
+    return s.filter(
+        (F.col("match_p") >= 0.05) & (F.col("match_p") <= 0.95)
+    ).select(
+        "left_id",
+        "right_id",
+        F.round("match_p", 6).alias("match_p"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("jaccard_sh", 6).alias("jaccard_sh"),
+    )
+
+
 def q_blocking_recall(spark, sf_dir):
     """Gold-pair coverage of blocking — the recall@k analog
     (``blink/main_dense.py:536-553``)."""
@@ -423,6 +441,10 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
              )
              SELECT is_match, pred_match, count(*) AS n
              FROM labeled GROUP BY is_match, pred_match""",
+        "er_review_queue": c
+        + """SELECT left_id, right_id, round(match_p, 6) AS match_p,
+               round(cosine, 6) AS cosine, round(jaccard_sh, 6) AS jaccard_sh
+             FROM scored_p WHERE match_p >= 0.05 AND match_p <= 0.95""",
         "er_block_census": c
         + """SELECT block_size, n_blocks,
                CAST(n_blocks * block_size * (block_size - 1) / 2 AS BIGINT)
@@ -491,5 +513,6 @@ QUERIES = {
     "er_confusion": q_confusion,
     "er_block_census": q_block_census,
     "er_node_stats": q_node_stats,
+    "er_review_queue": q_review_queue,
     "er_blocking_recall": q_blocking_recall,
 }

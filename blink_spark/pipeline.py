@@ -124,6 +124,50 @@ def run_pipeline(
     }
 
 
+def fit_match_model(tables: dict[str, DataFrame], labeled_source: DataFrame):
+    """Fit the calibrated spark.ml combiner (StandardScaler + LR — the NIL
+    predictor training, ``scripts/feature_ablation_study.py:969-977``) on
+    the scored pairs of a gold-labeled corpus run."""
+    gold = tables["ingested"].select("file_id", "gold_cluster")
+    labeled = evaluate.labeled_pairs(
+        tables["scored_pairs"].select("left_id", "right_id", "block_key"), gold
+    ).join(
+        tables["scored_pairs"],
+        ["left_id", "right_id", "block_key"],
+    )
+    return scoring.fit_combiner(labeled)
+
+
+def run_calibrated(
+    spark: SparkSession,
+    source: DataFrame,
+    model=None,
+    conf: PipelineConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Pipeline variant that thresholds the CALIBRATED probability
+    ``match_p_ml`` instead of the fixed-weight score. ``model=None`` fits
+    on this corpus's own gold labels first (train-and-link); pass a
+    pre-fitted model to link an unlabeled corpus."""
+    conf = conf or PipelineConfig()
+    tables = run_pipeline(spark, source, conf)
+    if model is None:
+        model = fit_match_model(tables, source)
+    rescored = scoring.apply_combiner(model, tables["scored_pairs"])
+    rep_edges = rescored.filter(
+        F.col("match_p_ml") >= F.lit(conf.match_tau)
+    ).select("left_id", "right_id")
+    from blink_spark import clustering as _clustering
+
+    clusters = _clustering.connected_components_via_reps(
+        rep_edges, blocking.rep_map(tables["ingested"])
+    )
+    out = dict(tables)
+    out["scored_pairs_ml"] = rescored
+    out["clusters"] = clusters
+    out["match_model"] = model
+    return out
+
+
 def evaluate_run(
     tables: dict[str, DataFrame], source_with_gold: DataFrame
 ) -> dict[str, float]:

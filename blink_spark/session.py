@@ -77,6 +77,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # bucketed-table warehouse (scale path for the feature join); kept
+        # out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/blink_spark_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
