@@ -22,7 +22,6 @@ from pyspark.sql.window import Window
 
 from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
 from blink_spark.fixtures import ensure_fixture, sf_from_dir
-from blink_spark.minhash import EMBED_DIM
 
 ORACLE_SF = 0.01  # the scale the driver's DuckDB harness runs at
 

@@ -124,10 +124,6 @@ def shingle_hashes_col(shingles: Column) -> Column:
     return F.transform(shingles, base_hash_col)
 
 
-def _perm_fn(a: int, b: int):
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
-
-
 def minhash_signature_col(hashes: Column) -> Column:
     """``array<long>`` of NUM_PERM minimums over permuted shingle hashes.
 
