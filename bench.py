@@ -58,10 +58,17 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     from blink_spark.fixtures import sf_from_dir
     from blink_spark.session import get_spark
 
+    from blink_spark.fixtures import sf_from_dir as _sfd
+
+    # shuffle partitions must scale with the pre-dedup pair volume: the
+    # blocking dedup shuffles O(bands × block²) rows, and 32 partitions at
+    # sf0.5 means >1 GB sort partitions that spill. AQE coalesces the
+    # excess at small sf, so oversizing is free; it cannot SPLIT an
+    # oversized aggregation partition, so undersizing is not.
     spark = get_spark(
         app_name="blink_spark_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 32),
+        shuffle_partitions=max(cpus, 32, int(512 * _sfd(sf_dir))),
     )
     _quiet(spark)
     timings: dict[str, float] = {}
