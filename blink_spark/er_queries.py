@@ -9,6 +9,11 @@ end-to-end correctness proof, not a tautology.
 
 Float columns are rounded to 6 dp on BOTH sides: the engines sum doubles in
 different orders, and last-bit noise must not fail the driver's value-hash.
+Rounded floats additionally get ``+ 0.0`` on BOTH sides: a tiny negative
+(e.g. cosine = -1e-9 from a different summation order) rounds to IEEE -0.0
+in one engine and +0.0 in the other — numerically equal, but serialized
+differently by the driver's value-hash. Adding +0.0 canonicalizes the sign
+of zero without changing any other value.
 
 Reference parity anchors (what each query reproduces) are cited per
 function; see SURVEY.md §2 for the full operator mapping.
@@ -24,6 +29,11 @@ from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
 from blink_spark.fixtures import ensure_fixture, sf_from_dir
 
 ORACLE_SF = 0.01  # the scale the driver's DuckDB harness runs at
+
+
+def _r6(col, scale: int = 6) -> F.Column:
+    """round(col, 6) with the sign of zero canonicalized (-0.0 → 0.0)."""
+    return F.round(col, scale) + F.lit(0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -125,12 +135,12 @@ def q_scored_pairs(spark, sf_dir):
         "left_id",
         "right_id",
         "block_key",
-        F.round("cosine", 6).alias("cosine"),
-        F.round("jaccard_sh", 6).alias("jaccard_sh"),
-        F.round("jw_path", 6).alias("jw_path"),
-        F.round("lev_path", 6).alias("lev_path"),
+        _r6("cosine", 6).alias("cosine"),
+        _r6("jaccard_sh", 6).alias("jaccard_sh"),
+        _r6("jw_path", 6).alias("jw_path"),
+        _r6("lev_path", 6).alias("lev_path"),
         "exact_sha",
-        F.round("match_p", 6).alias("match_p"),
+        _r6("match_p", 6).alias("match_p"),
     )
 
 
@@ -232,12 +242,12 @@ def q_node_stats(spark, sf_dir):
         F.col("rk") <= 10
     )
     return topk.groupBy("node_id").agg(
-        F.round(F.max("match_p"), 6).alias("p_max"),
-        F.round(
+        _r6(F.max("match_p"), 6).alias("p_max"),
+        _r6(
             F.coalesce(F.max(F.when(F.col("rk") == 2, F.col("match_p"))), F.lit(0.0)),
             6,
         ).alias("p_second"),
-        F.round(F.avg("match_p"), 6).alias("p_mean"),
+        _r6(F.avg("match_p"), 6).alias("p_mean"),
         F.count("*").cast("long").alias("n_cands"),
     )
 
@@ -254,9 +264,9 @@ def q_review_queue(spark, sf_dir):
     ).select(
         "left_id",
         "right_id",
-        F.round("match_p", 6).alias("match_p"),
-        F.round("cosine", 6).alias("cosine"),
-        F.round("jaccard_sh", 6).alias("jaccard_sh"),
+        _r6("match_p", 6).alias("match_p"),
+        _r6("cosine", 6).alias("cosine"),
+        _r6("jaccard_sh", 6).alias("jaccard_sh"),
     )
 
 
@@ -286,7 +296,7 @@ def q_blocking_recall(spark, sf_dir):
         .select(
             "n_gold_pairs",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_gold_pairs"), 6).alias("recall"),
+            _r6(F.col("n_hit") / F.col("n_gold_pairs"), 6).alias("recall"),
         )
     )
 
@@ -406,12 +416,12 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
         "er_sha_edges": c + "SELECT left_id, right_id FROM sha_edges",
         "er_scored_pairs": c
         + """SELECT left_id, right_id, block_key,
-               round(cosine, 6) AS cosine,
-               round(jaccard_sh, 6) AS jaccard_sh,
-               round(jw_path, 6) AS jw_path,
-               round(lev_path, 6) AS lev_path,
+               (round(cosine, 6) + 0.0) AS cosine,
+               (round(jaccard_sh, 6) + 0.0) AS jaccard_sh,
+               (round(jw_path, 6) + 0.0) AS jw_path,
+               (round(lev_path, 6) + 0.0) AS lev_path,
                exact_sha,
-               round(match_p, 6) AS match_p
+               (round(match_p, 6) + 0.0) AS match_p
              FROM scored_p""",
         "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
         "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
@@ -441,8 +451,8 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
              SELECT is_match, pred_match, count(*) AS n
              FROM labeled GROUP BY is_match, pred_match""",
         "er_review_queue": c
-        + """SELECT left_id, right_id, round(match_p, 6) AS match_p,
-               round(cosine, 6) AS cosine, round(jaccard_sh, 6) AS jaccard_sh
+        + """SELECT left_id, right_id, (round(match_p, 6) + 0.0) AS match_p,
+               (round(cosine, 6) + 0.0) AS cosine, (round(jaccard_sh, 6) + 0.0) AS jaccard_sh
              FROM scored_p WHERE match_p >= 0.05 AND match_p <= 0.95""",
         "er_block_census": c
         + """SELECT block_size, n_blocks,
@@ -470,10 +480,10 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                ) WHERE rk <= 10
              )
              SELECT node_id,
-               round(max(match_p), 6) AS p_max,
-               round(coalesce(max(CASE WHEN rk = 2 THEN match_p END), 0.0), 6)
-                 AS p_second,
-               round(avg(match_p), 6) AS p_mean,
+               (round(max(match_p), 6) + 0.0) AS p_max,
+               (round(coalesce(max(CASE WHEN rk = 2 THEN match_p END), 0.0), 6)
+                 + 0.0) AS p_second,
+               (round(avg(match_p), 6) + 0.0) AS p_mean,
                count(*) AS n_cands
              FROM topk GROUP BY node_id""",
         "er_blocking_recall": c
@@ -495,8 +505,8 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
              )
              SELECT (SELECT count(*) FROM pos) AS n_gold_pairs,
                     (SELECT count(*) FROM hit) AS n_hit,
-                    round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-                          / (SELECT count(*) FROM pos), 6) AS recall""",
+                    (round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                          / (SELECT count(*) FROM pos), 6) + 0.0) AS recall""",
     }
 
 

@@ -3,20 +3,41 @@
 indexed so future mentions link to them, ``scripts/kbp_simulation.py:316-366``,
 ``README.md:8-16``) re-expressed as batch-append over checkpointed tables.
 
-State after a run = the ``clusters`` table (file_id → cluster_id) plus the
-source rows already linked. A new batch of files is linked WITHOUT
-re-scoring old-vs-old pairs:
+State after a run = :class:`LinkState`:
 
-1. ingest + LSH keys for the new rows only (keys are deterministic
-   columns — appending never rebuilds an index, SURVEY.md §2.10 I1);
-2. candidate pairs restricted to those touching ≥1 new row (new×new and
-   new×old share blocks; old×old is skipped — it is already resolved);
-3. score + threshold as usual;
+- ``features`` — the per-row deterministic columns (sha ids, shingle
+  hashes, LSH band keys, embedding) of every row linked so far. These are
+  the engine's "index": computed ONCE per row, on the batch that row
+  arrived in, and reused verbatim afterwards (the analog of the KBP loop
+  appending new entity encodings to the FAISS index instead of re-encoding
+  the KB, ``scripts/kbp_simulation.py:227-251``).
+- ``clusters`` — the current assignment (file_id → cluster_id).
+
+A new batch of files is linked WITHOUT recomputing old rows:
+
+1. ingest + signatures + embedding for the NEW rows only
+   (:func:`batch_features` — the only place the pandas UDFs run);
+2. candidate pairs restricted to blocks touching ≥1 new row (new×new and
+   new×old share blocks; old×old is pruned — it is already resolved).
+   Block keys for old rows come from the stored ``band_keys`` column, a
+   thin shuffle with zero recompute;
+3. score + threshold as usual (features fetched from state);
 4. merged clusters = connected components over
-   [existing assignment stars (file→cluster_id) ∪ new match edges ∪ new
+   [existing assignment stars (cluster_id→file_id) ∪ new match edges ∪ new
    sha edges]. An existing cluster acts as a single super-node, so two
    old clusters bridged by a new file merge correctly, and a new file
    matching nothing founds a new cluster (the NIL path, I2).
+
+At scale the state ``features`` table is the checkpointed stage table
+(parquet/Iceberg partitioned by arrival batch — blink_spark.streaming
+stores exactly that), so per-batch work is O(new + touched-blocks), not
+O(total corpus).
+
+:func:`compact_state` optionally prunes state features to ONE
+representative row per cluster (medoid by embedding, the
+KMedoids-of-cluster-encodings idiom of ``scripts/kbp_simulation.py:227-251``
+/ ``:316-366``) so index state grows with #entities, not #mentions —
+future batches then link to the cluster via its representative.
 
 Equivalent guarantee: running incrementally over batches B1..Bk yields the
 same clustering as one batch over B1∪..∪Bk whenever the blocking recall
@@ -25,39 +46,74 @@ over split pairs is preserved (tested in tests/test_incremental.py).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blink_spark import blocking, clustering, ingest, scoring
 
+FEATURE_COLS = [
+    "file_id", "path", "path_stem", "lang", "content_sha",
+    "shingle_hashes", "band_keys", "embedding",
+]
 
-def link_batch(
-    prior_source: DataFrame | None,
-    prior_clusters: DataFrame | None,
-    new_source: DataFrame,
+
+@dataclass
+class LinkState:
+    """Accumulated linkage state: per-row index features + assignment."""
+
+    features: DataFrame  # FEATURE_COLS schema
+    clusters: DataFrame  # (file_id, cluster_id)
+
+    def persist(self) -> "LinkState":
+        self.features.persist()
+        self.clusters.persist()
+        return self
+
+
+def batch_features(source: DataFrame) -> DataFrame:
+    """Deterministic index columns for ONE batch of raw source rows.
+
+    This is the only function that runs the tokenize/minhash/embedding
+    kernels; everything downstream consumes its output, so feeding it only
+    the new batch guarantees old rows are never re-encoded.
+    """
+    ing = ingest.ingest(source)
+    with_sig = blocking.with_lsh_columns(ing)
+    return scoring.with_embedding(with_sig).select(*FEATURE_COLS)
+
+
+def link_features(
+    prior: LinkState | None,
+    new_features: DataFrame,
     tau: float = scoring.MATCH_TAU,
     block_cap: int = blocking.DEFAULT_BLOCK_CAP,
-) -> DataFrame:
-    """Returns the merged ``(file_id, cluster_id)`` table.
+) -> LinkState:
+    """Core incremental step over PRE-COMPUTED new-batch features.
 
-    ``prior_source`` / ``prior_clusters`` are the already-linked corpus and
-    its assignment (None for the first batch). Only pairs touching the new
-    batch are generated and scored.
+    ``prior`` features/clusters are reused as-is (no UDF touches them).
+    Returns the merged state; ``state.features`` is prior ∪ new.
     """
-    new_ing = ingest.ingest(new_source).withColumn("is_new", F.lit(True))
-    if prior_source is None:
-        all_ing = new_ing
+    new_feat = new_features.select(*FEATURE_COLS).withColumn("is_new", F.lit(True))
+    if prior is None:
+        all_feat = new_feat
     else:
-        old_ing = ingest.ingest(prior_source).withColumn("is_new", F.lit(False))
-        all_ing = old_ing.unionByName(new_ing)
+        all_feat = (
+            prior.features.select(*FEATURE_COLS)
+            .withColumn("is_new", F.lit(False))
+            .unionByName(new_feat)
+        )
 
-    with_sig = blocking.with_lsh_columns(all_ing)
-    reps = blocking.representatives(with_sig)
+    # exact-dup collapse over the union: thin columns only (id + sha),
+    # no recompute — the window shuffles ~80 B/row regardless of content size
+    reps = blocking.representatives(all_feat)
     membership = blocking.block_membership(
         reps.select("file_id", "lang", "path_stem", "band_keys")
     )
-    # flag blocks containing at least one new rep; only they can produce
-    # new edges — old-only blocks are pruned before the self-join
+    # keep only blocks containing ≥1 new rep; old-only blocks are pruned
+    # before the self-join — per-batch pair work scales with the batch's
+    # block footprint, not the corpus
     newness = reps.select("file_id", "is_new")
     m = membership.join(newness, "file_id")
     live_blocks = (
@@ -70,7 +126,7 @@ def link_batch(
     pairs = blocking.candidate_pairs(
         live.select("file_id", "block_key"), block_cap
     )
-    # drop old×old pairs (already resolved in prior_clusters)
+    # drop old×old pairs (already resolved in prior.clusters)
     nl = newness.select(F.col("file_id").alias("left_id"), F.col("is_new").alias("l_new"))
     nr = newness.select(F.col("file_id").alias("right_id"), F.col("is_new").alias("r_new"))
     pairs = (
@@ -79,26 +135,108 @@ def link_batch(
         .select("left_id", "right_id", "block_key", "salt")
     )
 
-    features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
+    scored = scoring.score_pairs(
+        pairs,
+        all_feat.select("file_id", "path", "content_sha", "shingle_hashes", "embedding"),
     )
-    scored = scoring.score_pairs(pairs, features)
     new_edges = scoring.match_edges(scored, tau)
 
     # sha stars among the union (collapses new exact dups onto old reps)
-    sha_edges = blocking.exact_dup_edges(all_ing).select("left_id", "right_id")
+    sha_edges = blocking.exact_dup_edges(all_feat).select("left_id", "right_id")
 
-    # prior assignments as star edges file→cluster_id (cluster_id is itself
-    # a member file_id, so the node domain stays closed)
-    if prior_clusters is not None:
-        prior_edges = prior_clusters.filter(
+    # prior assignments as star edges cluster_id→file_id (cluster_id is
+    # itself a member file_id, so the node domain stays closed)
+    if prior is not None:
+        prior_edges = prior.clusters.filter(
             F.col("file_id") != F.col("cluster_id")
         ).select(
             F.col("cluster_id").alias("left_id"), F.col("file_id").alias("right_id")
         )
         edges = new_edges.unionByName(sha_edges).unionByName(prior_edges)
+        # node domain: every feature row plus every previously-assigned
+        # file (state may have been compacted to representatives)
+        nodes = (
+            all_feat.select("file_id")
+            .unionByName(prior.clusters.select("file_id"))
+            .distinct()
+        )
     else:
         edges = new_edges.unionByName(sha_edges)
+        nodes = all_feat.select("file_id")
 
-    nodes = all_ing.select("file_id")
-    return clustering.connected_components(edges.distinct(), nodes)
+    merged = clustering.connected_components(edges.distinct(), nodes)
+    return LinkState(features=all_feat.drop("is_new"), clusters=merged)
+
+
+def link_batch(
+    prior: LinkState | None,
+    new_source: DataFrame,
+    tau: float = scoring.MATCH_TAU,
+    block_cap: int = blocking.DEFAULT_BLOCK_CAP,
+) -> LinkState:
+    """Link a batch of RAW source rows against the accumulated state.
+
+    Feature kernels (tokenize → minhash → embedding) run over
+    ``new_source`` only; prior rows are consumed from ``prior.features``.
+    """
+    return link_features(prior, batch_features(new_source), tau, block_cap)
+
+
+def cluster_representatives(
+    features: DataFrame, clusters: DataFrame, mode: str = "medoid"
+) -> DataFrame:
+    """One feature row per cluster — the cluster's index entry.
+
+    ``medoid``: member minimizing summed euclidean distance to the other
+    members' embeddings (KMedoids(n_clusters=1) over cluster encodings,
+    ``scripts/kbp_simulation.py:45-46``/``:227-251``), ties broken by min
+    file_id. ``first``: min file_id (O(n), no pairwise work).
+    Returns FEATURE_COLS + cluster_id.
+    """
+    joined = features.join(clusters, "file_id")
+    if mode == "first":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cluster_id").orderBy("file_id")
+        return (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if mode != "medoid":
+        raise ValueError(f"unknown representative mode {mode!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        sq = (m * m).sum(axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
+        np.maximum(d2, 0.0, out=d2)
+        cost = np.sqrt(d2).sum(axis=1)
+        ids = pdf["file_id"].to_numpy()
+        cand = ids[np.isclose(cost, cost.min(), rtol=0, atol=1e-9)]
+        return pd.DataFrame(
+            {"cluster_id": [pdf["cluster_id"].iloc[0]], "file_id": [min(cand)]}
+        )
+
+    pick = joined.select("cluster_id", "file_id", "embedding").groupBy(
+        "cluster_id"
+    ).applyInPandas(_pick, "cluster_id string, file_id string")
+    return joined.join(pick, ["cluster_id", "file_id"], "left_semi").join(
+        clusters, "file_id"
+    )
+
+
+def compact_state(state: LinkState, mode: str = "medoid") -> LinkState:
+    """Prune state features to one representative row per cluster.
+
+    Index state then grows O(#entities) instead of O(#mentions) — the KBP
+    loop's representative-encodings discipline. Clusters (the full
+    assignment) are kept untouched; only the feature index shrinks.
+    Tradeoff (documented): a future row can now only link to a cluster via
+    its representative's blocks/features.
+    """
+    reps = cluster_representatives(state.features, state.clusters, mode)
+    return LinkState(features=reps.select(*FEATURE_COLS), clusters=state.clusters)

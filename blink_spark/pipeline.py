@@ -124,11 +124,31 @@ def run_pipeline(
     }
 
 
-def fit_match_model(tables: dict[str, DataFrame], labeled_source: DataFrame):
+def fit_match_model(tables: dict[str, DataFrame], labeled_source: DataFrame | None = None):
     """Fit the calibrated spark.ml combiner (StandardScaler + LR — the NIL
     predictor training, ``scripts/feature_ablation_study.py:969-977``) on
-    the scored pairs of a gold-labeled corpus run."""
-    gold = tables["ingested"].select("file_id", "gold_cluster")
+    the scored pairs of a gold-labeled corpus run.
+
+    Gold labels come from ``labeled_source`` when given (ingested on the
+    fly, so callers can train on a differently-labeled corpus); otherwise
+    from the pipeline's own ingested table. Raises if neither carries a
+    ``gold_cluster`` column rather than failing opaquely downstream."""
+    if labeled_source is not None:
+        if "gold_cluster" not in labeled_source.columns:
+            raise ValueError("labeled_source lacks a gold_cluster column")
+        labeled_ing = (
+            labeled_source
+            if "file_id" in labeled_source.columns
+            else ingest.ingest(labeled_source)
+        )
+        gold = labeled_ing.select("file_id", "gold_cluster")
+    elif "gold_cluster" in tables["ingested"].columns:
+        gold = tables["ingested"].select("file_id", "gold_cluster")
+    else:
+        raise ValueError(
+            "no gold labels: pipeline source lacks gold_cluster and no "
+            "labeled_source was given"
+        )
     labeled = evaluate.labeled_pairs(
         tables["scored_pairs"].select("left_id", "right_id", "block_key"), gold
     ).join(

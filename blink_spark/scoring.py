@@ -261,7 +261,16 @@ def score_pairs(
         .distinct()
         .withColumn("jw_path", jw_udf(F.col("l_base"), F.col("r_base")))
     )
-    df = df.join(F.broadcast(jw_map), ["l_base", "r_base"], "left")
+    # Broadcast gate: with broadcast_features the caller asserts the
+    # per-file payload fits executor memory, and jw_map (distinct basename
+    # pairs, ~100 B/row) is strictly smaller — hint it explicitly. On the
+    # bucketed scale path (broadcast_features=False) leave the choice to
+    # AQE: the distinct's exchange gives it exact runtime stats, so it
+    # broadcasts when small and degrades to a shuffle join instead of
+    # OOMing the driver when basename diversity explodes at 100×.
+    if broadcast_features:
+        jw_map = F.broadcast(jw_map)
+    df = df.join(jw_map, ["l_base", "r_base"], "left")
     df = df.withColumn("lev_path", lev_sim_col(F.col("l_path"), F.col("r_path")))
     df = df.withColumn("exact_sha", F.col("l_content_sha") == F.col("r_content_sha"))
     df = df.withColumn(

@@ -24,9 +24,30 @@ EMB_DIM = 64
 # fixed seeded hyperplanes (embedded as literals in the SQL oracle too)
 _rng = np.random.RandomState(7)
 PLANES: list[list[float]] = [
-    [round(float(x), 6) for x in _rng.randn(EMB_DIM)] for _ in range(N_PLANES)
+    [round(float(x), 6) + 0.0 for x in _rng.randn(EMB_DIM)] for _ in range(N_PLANES)
 ]
 
+# IVF coarse quantizer: fixed seeded unit centroids (the FAISS IVF
+# `nlist` cells, ``elq/index/faiss_indexer.py:71-90``). Deterministic
+# literals rather than trained k-means so the SQL oracle reproduces cell
+# assignment bit-for-bit; on a real corpus these would come from a sampled
+# k-means fit, same plan shape downstream.
+N_CELLS = 16
+ANN_NPROBE = 4  # default probe count for emb_ann_topk
+NPROBE_GRID = [1, 2, 4, 8, 12, 16]
+_crng = np.random.RandomState(11)
+_cen = _crng.randn(N_CELLS, EMB_DIM)
+_cen /= np.linalg.norm(_cen, axis=1, keepdims=True)
+CENTROIDS: list[list[float]] = [
+    [round(float(x), 6) + 0.0 for x in row] for row in _cen
+]
+
+
+
+def _r6(col, scale: int = 6):
+    """round with the sign of zero canonicalized (-0.0 -> 0.0); see
+    er_queries module docstring for why the oracle hash needs this."""
+    return F.round(col, scale) + F.lit(0.0)
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -44,16 +65,19 @@ def _norm(a):
     )
 
 
-def q_emb_knn(spark, sf_dir):
-    """Brute-force cosine top-k: query subset × full table, windowed rank.
-    At scale the broadcast side is the query batch (small) streaming
-    against the partitioned corpus — exactly this plan."""
+def _corpus_and_queries(spark, sf_dir):
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
+    return emb, queries
+
+
+def _exact_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k pairs (query_id, rank, neighbor_id, cosine) —
+    the brute-force GEMM+topk baseline."""
     pairs = emb.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -66,13 +90,121 @@ def q_emb_knn(spark, sf_dir):
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_emb_knn(spark, sf_dir):
+    """Brute-force cosine top-k: query subset × full table, windowed rank.
+    At scale the broadcast side is the query batch (small) streaming
+    against the partitioned corpus — exactly this plan."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return _exact_topk(emb, queries).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        _r6("cosine", 6).alias("cosine"),
+    )
+
+
+def _cell_ranks(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, cell, sim, cell_rank): every IVF cell ranked per vector by
+    centroid dot product (row norm is constant per vector, so dot order ==
+    cosine order). cell_rank=1 is the vector's home cell; ranks 2..P are
+    its probe order — the FAISS IVF nprobe schedule
+    (``elq/index/faiss_indexer.py:71-90``)."""
+    sims = F.array(*[
+        _dot(F.col("v"), F.array(*[F.lit(p) for p in c])) for c in CENTROIDS
+    ])
+    e = df.select(F.col(id_col), F.posexplode(sims).alias("cell", "sim"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return e.withColumn("cell_rank", F.row_number().over(w))
+
+
+def q_emb_ann_topk(spark, sf_dir):
+    """IVF ANN search — the sublinear path the LSH/IVF buckets exist for:
+    coarse-quantize the corpus (one cell per vector), probe the query's
+    ANN_NPROBE nearest cells, exact-cosine rerank ONLY the candidates in
+    probed cells, windowed top-k. The cell join shuffles on `cell` — the
+    IVF partitioning itself — so at 100 TB each executor reranks only its
+    cells' residents (~nprobe/nlist of the corpus per query), never the
+    full table."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    cells = (
+        _cell_ranks(emb).filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    ).join(emb, "vec_id")
+    probes = (
+        _cell_ranks(queries.select(F.col("query_id"), F.col("q").alias("v")), "query_id")
+        .filter(F.col("cell_rank") <= ANN_NPROBE)
+        .select("query_id", "cell")
+    ).join(queries, "query_id")
+    cand = probes.join(cells, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+    cand = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             F.col("rank").cast("long").alias("rank"),
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            _r6("cosine", 6).alias("cosine"),
         )
+    )
+
+
+def q_emb_ann_recall(spark, sf_dir):
+    """Recall-vs-nprobe sweep of the IVF search against the exact baseline
+    (the recall@k tuning curve of ``blink/main_dense.py:536-553``, applied
+    to the ANN index). Single pass: an exact-top-k neighbor is retrieved at
+    probe depth P iff its home cell ranks ≤ P for the query (once present,
+    it always survives the exact rerank — anything above it in the
+    candidate order is also above it in the exact order). Returns one row
+    per nprobe: (nprobe, recall, scan_frac)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    cells = _cell_ranks(emb).filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    qranks = _cell_ranks(
+        queries.select(F.col("query_id"), F.col("q").alias("v")), "query_id"
+    ).select("query_id", "cell", "cell_rank")
+
+    exact = _exact_topk(emb, queries).select("query_id", "neighbor_id")
+    pair_rank = exact.join(
+        cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(qranks, ["query_id", "cell"])
+
+    grid = spark.createDataFrame([(p,) for p in NPROBE_GRID], "nprobe int")
+    recall = (
+        pair_rank.crossJoin(F.broadcast(grid))
+        .groupBy("nprobe")
+        .agg(
+            F.avg(
+                F.when(F.col("cell_rank") <= F.col("nprobe"), 1.0).otherwise(0.0)
+            ).alias("recall")
+        )
+    )
+
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("n"))
+    total = emb.agg(F.count("*").alias("n_total"))
+    per_q = (
+        qranks.join(sizes, "cell")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .groupBy("nprobe", "query_id")
+        .agg(F.sum("n").alias("scanned"))
+    )
+    scan = (
+        per_q.groupBy("nprobe")
+        .agg(F.avg("scanned").alias("avg_scanned"))
+        .crossJoin(total)
+        .select("nprobe", (F.col("avg_scanned") / F.col("n_total")).alias("scan_frac"))
+    )
+    return recall.join(scan, "nprobe").select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        _r6("recall", 6).alias("recall"),
+        _r6("scan_frac", 6).alias("scan_frac"),
     )
 
 
@@ -104,7 +236,7 @@ def q_emb_label_centroids(spark, sf_dir):
             ),
         )
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("mean"))
+        .agg(_r6(F.avg("x"), 6).alias("mean"))
         .select(
             F.col("label").cast("long").alias("label"),
             F.col("pos").cast("long").alias("pos"),
@@ -160,7 +292,7 @@ r AS (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
   ) AS rank FROM p
 )
-SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+SELECT query_id, rank, neighbor_id, (round(cosine, 6) + 0.0) AS cosine
 FROM r WHERE rank <= {TOP_K}"""
 
     plane_terms = []
@@ -176,9 +308,97 @@ b AS (SELECT vec_id, ({bucket}) AS bucket FROM e),
 s AS (SELECT bucket, count(*) AS bucket_n FROM b GROUP BY bucket)
 SELECT b.vec_id, b.bucket, s.bucket_n FROM b JOIN s USING (bucket)"""
 
+    cen_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(CENTROIDS)
+    )
+    ivf_cte = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen(cell, c) AS (VALUES {cen_rows}),
+sims AS (
+  SELECT e.vec_id, cen.cell, list_dot_product(e.v, cen.c) AS sim
+  FROM e CROSS JOIN cen
+),
+ranks AS (
+  SELECT vec_id, cell, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+  ) AS cell_rank FROM sims
+),
+cells AS (SELECT vec_id, cell FROM ranks WHERE cell_rank = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+qranks AS (
+  SELECT vec_id AS query_id, cell, cell_rank FROM ranks
+  WHERE vec_id % {QUERY_MOD} = 0
+)"""
+
+    sql["emb_ann_topk"] = ivf_cte + f""",
+probes AS (SELECT query_id, cell FROM qranks WHERE cell_rank <= {ANN_NPROBE}),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN cells c USING (cell)
+  WHERE c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM cand JOIN q USING (query_id) JOIN e ON e.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, rank, neighbor_id, (round(cosine, 6) + 0.0) AS cosine
+FROM r WHERE rank <= {TOP_K}"""
+
+    grid_rows = ", ".join(f"({p})" for p in NPROBE_GRID)
+    sql["emb_ann_recall"] = ivf_cte + f""",
+p0 AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rank FROM p0
+  ) WHERE rank <= {TOP_K}
+),
+pair_rank AS (
+  SELECT x.query_id, qr.cell_rank
+  FROM exact x
+  JOIN cells c ON c.vec_id = x.neighbor_id
+  JOIN qranks qr ON qr.query_id = x.query_id AND qr.cell = c.cell
+),
+grid(nprobe) AS (VALUES {grid_rows}),
+rec AS (
+  SELECT g.nprobe,
+    avg(CASE WHEN pr.cell_rank <= g.nprobe THEN 1.0 ELSE 0.0 END) AS recall
+  FROM pair_rank pr CROSS JOIN grid g GROUP BY g.nprobe
+),
+sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+per_q AS (
+  SELECT g.nprobe, qr.query_id, sum(s.n) AS scanned
+  FROM qranks qr JOIN sizes s USING (cell) CROSS JOIN grid g
+  WHERE qr.cell_rank <= g.nprobe
+  GROUP BY g.nprobe, qr.query_id
+),
+scanf AS (
+  SELECT nprobe, avg(scanned) / (SELECT count(*) FROM e) AS scan_frac
+  FROM per_q GROUP BY nprobe
+)
+SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
+       (round(r.recall, 6) + 0.0) AS recall,
+       (round(scanf.scan_frac, 6) + 0.0) AS scan_frac
+FROM rec r JOIN scanf USING (nprobe)"""
+
     sql["emb_label_centroids"] = """
 SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean
+       (round(avg(CAST(embedding[i] AS DOUBLE)), 6) + 0.0) AS mean
 FROM embeddings, range(1, 65) t(i)
 GROUP BY label, i"""
 
@@ -203,6 +423,8 @@ GROUP BY c.label"""
 QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_ann_topk": q_emb_ann_topk,
+    "emb_ann_recall": q_emb_ann_recall,
     "emb_label_centroids": q_emb_label_centroids,
     "emb_label_medoid": q_emb_label_medoid,
 }

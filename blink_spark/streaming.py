@@ -6,9 +6,26 @@ batch-append KB population (SURVEY.md §2.10). This module is the Spark
 shape of that loop: ``readStream`` over an arriving-files directory →
 each micro-batch links against the accumulated state exactly like
 ``scripts/kbp_simulation.py``'s loop indexes newly discovered entities.
-State (accumulated source + current clustering) is versioned per batch
-under ``state_dir`` so replays of a micro-batch (at-least-once semantics)
-are idempotent — the batch id is the version key.
+
+State layout (append-only; scale-safe at a long-running stream):
+
+    <state_dir>/features/batch=<id>/   index features of THAT batch only
+                                       (written once, never rewritten —
+                                       cumulative I/O is O(corpus), not
+                                       O(batches²))
+    <state_dir>/clusters_v<N>/         assignment snapshot per version
+                                       (thin 2-column table)
+    <state_dir>/manifest.jsonl         one line per PUBLISHED version:
+        {version, batch_id, feature_dirs, n_new, clusters_path}
+
+Publish protocol (crash-safe, at-least-once replay → exactly-once state):
+feature parquet first, clusters snapshot second, manifest line LAST — the
+manifest append is the atomic commit. A crash before the append leaves
+orphan dirs that the replayed micro-batch simply overwrites (all writes
+are deterministic functions of the batch), and discovery never trusts a
+directory that the manifest does not name, so a partial write can never
+wedge the stream. Discovery reads only the manifest (no directory
+listing — object-store safe, the Iceberg snapshot-log idiom).
 
 Because every linkage step is order-independent at the fixpoint (CC over
 the union of edges), the final clustering equals the one-shot batch run
@@ -18,6 +35,7 @@ tests/test_streaming.py).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,53 +52,73 @@ SOURCE_SCHEMA_NO_GOLD = (
 )
 
 
-def _latest_version(state_dir: str, prefix: str) -> int | None:
-    if not os.path.isdir(state_dir):
-        return None
-    versions = [
-        int(d.split("_v")[1])
-        for d in os.listdir(state_dir)
-        if d.startswith(f"{prefix}_v") and not d.endswith("_tmp")
-    ]
-    return max(versions) if versions else None
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest.jsonl")
 
 
-def _state_path(state_dir: str, prefix: str, version: int) -> str:
-    return os.path.join(state_dir, f"{prefix}_v{version}")
+def _read_manifest(state_dir: str) -> list[dict]:
+    path = _manifest_path(state_dir)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def _published(state_dir: str) -> dict | None:
+    """Latest committed version (highest version among manifest lines)."""
+    entries = _read_manifest(state_dir)
+    return max(entries, key=lambda e: e["version"]) if entries else None
 
 
 def make_batch_processor(spark: SparkSession, state_dir: str):
     """Returns the foreachBatch callback: link batch_df against state,
-    publish state version = batch_id + 1 (idempotent on replay)."""
+    publish version = batch_id + 1 via a manifest append (idempotent on
+    replay — a version already in the manifest is skipped)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         version = int(batch_id) + 1
-        done = os.path.join(_state_path(state_dir, "clusters", version), "_SUCCESS")
-        if os.path.exists(done):
-            return  # replayed micro-batch: state already published
-        prev = _latest_version(state_dir, "clusters")
-        if prev is None:
-            prior_src = prior_clusters = None
+        entries = _read_manifest(state_dir)
+        if any(e["version"] == version for e in entries):
+            return  # replayed micro-batch: already committed
+        latest = max(entries, key=lambda e: e["version"]) if entries else None
+
+        if latest is None:
+            prior = None
+            feature_dirs: list[str] = []
         else:
-            prior_src = spark.read.parquet(_state_path(state_dir, "source", prev))
-            prior_clusters = spark.read.parquet(
-                _state_path(state_dir, "clusters", prev)
+            feature_dirs = list(latest["feature_dirs"])
+            prior = incremental.LinkState(
+                features=spark.read.parquet(*feature_dirs),
+                clusters=spark.read.parquet(latest["clusters_path"]),
             )
-        merged = incremental.link_batch(prior_src, prior_clusters, batch_df)
-        merged.write.mode("overwrite").parquet(
-            _state_path(state_dir, "clusters", version)
-        )
-        src_cols = [c for c in batch_df.columns]
-        new_src = (
-            batch_df.select(*src_cols)
-            if prior_src is None
-            else prior_src.select(*src_cols).unionByName(batch_df.select(*src_cols))
-        )
-        new_src.write.mode("overwrite").parquet(
-            _state_path(state_dir, "source", version)
-        )
+
+        # 1. index features for the NEW rows only → their own batch dir.
+        #    Written before linking and read back so the (nondeterministic
+        #    across replans) UDF outputs are computed exactly once.
+        feat_dir = os.path.join(state_dir, "features", f"batch={int(batch_id)}")
+        incremental.batch_features(batch_df).write.mode("overwrite").parquet(feat_dir)
+        new_feat = spark.read.parquet(feat_dir)
+
+        # 2. link; 3. snapshot the (thin) assignment table
+        state = incremental.link_features(prior, new_feat)
+        clusters_path = os.path.join(state_dir, f"clusters_v{version}")
+        state.clusters.write.mode("overwrite").parquet(clusters_path)
+
+        # 4. commit: manifest line LAST — the atomic publish point
+        rec = {
+            "version": version,
+            "batch_id": int(batch_id),
+            "feature_dirs": feature_dirs + [feat_dir],
+            "clusters_path": clusters_path,
+        }
+        with open(_manifest_path(state_dir), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     return process
 
@@ -96,6 +134,7 @@ def stream_link(
     """Start (availableNow) a streaming linkage over parquet files arriving
     in ``input_dir``. Returns the StreamingQuery; the caller awaits it.
     Final clusters: ``latest_clusters(spark, state_dir)``."""
+    os.makedirs(state_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -109,7 +148,19 @@ def stream_link(
 
 
 def latest_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
-    v = _latest_version(state_dir, "clusters")
-    if v is None:
-        raise FileNotFoundError(f"no clusters state under {state_dir}")
-    return spark.read.parquet(_state_path(state_dir, "clusters", v))
+    pub = _published(state_dir)
+    if pub is None:
+        raise FileNotFoundError(f"no published clusters state under {state_dir}")
+    return spark.read.parquet(pub["clusters_path"])
+
+
+def latest_state(spark: SparkSession, state_dir: str) -> incremental.LinkState:
+    """Reload the full LinkState (feature index + assignment) — the entry
+    point for resuming batch-mode linking from a streamed state."""
+    pub = _published(state_dir)
+    if pub is None:
+        raise FileNotFoundError(f"no published state under {state_dir}")
+    return incremental.LinkState(
+        features=spark.read.parquet(*pub["feature_dirs"]),
+        clusters=spark.read.parquet(pub["clusters_path"]),
+    )

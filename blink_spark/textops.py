@@ -39,6 +39,12 @@ LANG_PROFILES = {
 LANG_ORDER = sorted(LANG_PROFILES)  # deterministic argmax tie-break order
 
 
+
+def _r6(col, scale: int = 6):
+    """round with the sign of zero canonicalized (-0.0 -> 0.0); see
+    er_queries module docstring for why the oracle hash needs this."""
+    return F.round(col, scale) + F.lit(0.0)
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -85,10 +91,10 @@ def q_doc_token_stats(spark, sf_dir):
         n.cast("long").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        F.round(F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 6).alias(
+        _r6(F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 6).alias(
             "avg_token_len"
         ),
-        F.round(
+        _r6(
             F.when(n > 0, F.size(F.array_distinct("tokens")) / n).otherwise(
                 F.lit(0.0)
             ),
@@ -117,11 +123,11 @@ def q_doc_quality(spark, sf_dir):
     z = F.lit(-1.0) + 3.0 * alpha_r + 2.0 * stop_r - 4.0 * digit_r
     return df.select(
         "doc_id",
-        F.round(alpha_r, 6).alias("alpha_ratio"),
-        F.round(digit_r, 6).alias("digit_ratio"),
-        F.round(space_r, 6).alias("space_ratio"),
-        F.round(stop_r, 6).alias("stopword_ratio"),
-        F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("quality"),
+        _r6(alpha_r, 6).alias("alpha_ratio"),
+        _r6(digit_r, 6).alias("digit_ratio"),
+        _r6(space_r, 6).alias("space_ratio"),
+        _r6(stop_r, 6).alias("stopword_ratio"),
+        _r6(1.0 / (1.0 + F.exp(-z)), 6).alias("quality"),
     )
 
 
@@ -140,7 +146,7 @@ def q_doc_langid(spark, sf_dir):
         for lang, prof in LANG_PROFILES.items()
     }
     df = df.select(
-        "doc_id", *[F.round(s, 6).alias(f"s_{lang}") for lang, s in scores.items()]
+        "doc_id", *[_r6(s, 6).alias(f"s_{lang}") for lang, s in scores.items()]
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_ORDER])
     pred = F.lit("unknown")
@@ -148,7 +154,7 @@ def q_doc_langid(spark, sf_dir):
         pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
     return df.select(
-        "doc_id", pred.alias("pred_lang"), F.round(best, 6).alias("score")
+        "doc_id", pred.alias("pred_lang"), _r6(best, 6).alias("score")
     )
 
 
@@ -213,7 +219,7 @@ def q_doc_near_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs with exact jaccard confirmation —
     the shingle→minhash→band→bucket-join dedup pattern."""
     return _near_dup_pairs(spark, sf_dir).select(
-        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+        "left_id", "right_id", _r6("jaccard", 6).alias("jaccard")
     )
 
 
@@ -280,23 +286,23 @@ SELECT doc_id,
   len(tokens) AS n_tokens,
   len(list_distinct(tokens)) AS n_distinct_tokens,
   len(text) AS n_chars,
-  round(CASE WHEN len(tokens) > 0 THEN
+  (round(CASE WHEN len(tokens) > 0 THEN
     CAST(list_sum(list_transform(tokens, t -> len(t))) AS DOUBLE) / len(tokens)
-    ELSE 0.0 END, 6) AS avg_token_len,
-  round(CASE WHEN len(tokens) > 0 THEN
+    ELSE 0.0 END, 6) + 0.0) AS avg_token_len,
+  (round(CASE WHEN len(tokens) > 0 THEN
     CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
-    ELSE 0.0 END, 6) AS type_token_ratio
+    ELSE 0.0 END, 6) + 0.0) AS type_token_ratio
 FROM docs"""
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     sql["doc_quality"] = c + f"""
 SELECT doc_id,
-  round(alpha_r, 6) AS alpha_ratio,
-  round(digit_r, 6) AS digit_ratio,
-  round(space_r, 6) AS space_ratio,
-  round(stop_r, 6) AS stopword_ratio,
-  round(1.0 / (1.0 + exp(-(-1.0 + 3.0*alpha_r + 2.0*stop_r - 4.0*digit_r))), 6)
-    AS quality
+  (round(alpha_r, 6) + 0.0) AS alpha_ratio,
+  (round(digit_r, 6) + 0.0) AS digit_ratio,
+  (round(space_r, 6) + 0.0) AS space_ratio,
+  (round(stop_r, 6) + 0.0) AS stopword_ratio,
+  (round(1.0 / (1.0 + exp(-(-1.0 + 3.0*alpha_r + 2.0*stop_r - 4.0*digit_r))), 6)
+    + 0.0) AS quality
 FROM (
   SELECT doc_id,
     CASE WHEN len(text) > 0 THEN
@@ -328,7 +334,7 @@ FROM (
     sql["doc_langid"] = c + f"""
 SELECT doc_id,
   CASE WHEN {best} > 0 THEN {pred_chain} ELSE 'unknown' END AS pred_lang,
-  round({best}, 6) AS score
+  (round({best}, 6) + 0.0) AS score
 FROM (
   SELECT doc_id, {lang_scores}
   FROM (SELECT doc_id, list_distinct(tokens) AS toks_d FROM docs)
@@ -367,7 +373,7 @@ nd_pairs AS (
   ) WHERE jaccard >= {NEAR_DUP_TAU}
 )"""
     sql["doc_near_dup_pairs"] = lsh_cte + """
-SELECT left_id, right_id, round(jaccard, 6) AS jaccard FROM nd_pairs"""
+SELECT left_id, right_id, (round(jaccard, 6) + 0.0) AS jaccard FROM nd_pairs"""
 
     sql["doc_dup_clusters"] = (
         lsh_cte

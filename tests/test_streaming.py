@@ -42,8 +42,29 @@ def test_streamed_batches_equal_one_shot(spark, tmp_path):
     q.awaitTermination(600)
     assert not q.isActive
 
-    got = _canon(streaming.latest_clusters(spark, str(tmp_path / "state")))
+    state_dir = str(tmp_path / "state")
+    got = _canon(streaming.latest_clusters(spark, state_dir))
 
     src = spark.read.parquet(ensure_fixture(0.001))
     expected = _canon(run_pipeline(spark, src)["clusters"])
     assert got == expected
+
+    # --- state-shape contract (VERDICT r1 #2/#3) ---
+    # append-only feature index: one dir per batch, sizes sum to the corpus
+    # (never a rewritten accumulated copy)
+    entries = streaming._read_manifest(state_dir)
+    assert [e["version"] for e in entries] == [1, 2, 3]
+    final = entries[-1]
+    assert len(final["feature_dirs"]) == 3
+    sizes = [spark.read.parquet(d).count() for d in final["feature_dirs"]]
+    assert sum(sizes) == src.count() and all(s > 0 for s in sizes)
+    # discovery is manifest-based and the full state reloads
+    st = streaming.latest_state(spark, state_dir)
+    assert st.features.count() == src.count()
+
+    # replaying an already-committed micro-batch is a no-op (idempotence)
+    before = os.path.getmtime(os.path.join(state_dir, "manifest.jsonl"))
+    processor = streaming.make_batch_processor(spark, state_dir)
+    processor(spark.read.parquet(ensure_fixture(0.001)), 2)  # batch_id 2 → v3
+    assert streaming._read_manifest(state_dir) == entries
+    assert os.path.getmtime(os.path.join(state_dir, "manifest.jsonl")) == before
