@@ -100,6 +100,40 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_link_batch(args) -> int:
+    """Incremental KBP append (``scripts/kbp_simulation.py:316-366`` loop
+    as a CLI): link --source (one new batch of files) against the
+    manifest-published state under --state-dir and publish the next
+    version. The first call bootstraps the state; feature kernels run over
+    the new batch only."""
+    from blink_spark import streaming
+
+    if not args.state_dir:
+        sys.stderr.write("link-batch requires --state-dir\n")
+        return 2
+    spark = _spark(args)
+    batch = spark.read.parquet(args.source)
+    prev = streaming._published(args.state_dir)
+    batch_id = (prev["batch_id"] + 1) if prev else 0
+    import os
+
+    os.makedirs(args.state_dir, exist_ok=True)
+    streaming.make_batch_processor(spark, args.state_dir)(batch, batch_id)
+    pub = streaming._published(args.state_dir)
+    clusters = spark.read.parquet(pub["clusters_path"])
+    print(
+        json.dumps(
+            {
+                "version": pub["version"],
+                "batch_rows": batch.count(),
+                "total_files": clusters.count(),
+                "clusters": clusters.select("cluster_id").distinct().count(),
+            }
+        )
+    )
+    return 0
+
+
 STAGES = [
     "ingested", "signatures", "sha_edges", "block_membership",
     "candidate_pairs", "features", "scored_pairs", "match_edges", "clusters",
@@ -108,9 +142,10 @@ STAGES = [
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="blink_spark")
-    ap.add_argument("cmd", choices=["run", "evaluate", *STAGES])
+    ap.add_argument("cmd", choices=["run", "evaluate", "link-batch", *STAGES])
     ap.add_argument("--source", required=True, help="source_files parquet path")
     ap.add_argument("--out", default=None, help="checkpoint dir (omit = in-memory)")
+    ap.add_argument("--state-dir", default=None, help="link-batch state dir")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--tau", type=float, default=0.5)
     ap.add_argument("--block-cap", type=int, default=1000)
@@ -121,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_run(args)
     if args.cmd == "evaluate":
         return cmd_evaluate(args)
+    if args.cmd == "link-batch":
+        return cmd_link_batch(args)
     return cmd_stage(args)
 
 

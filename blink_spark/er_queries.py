@@ -129,7 +129,10 @@ def q_sha_edges(spark, sf_dir):
 
 
 def q_scored_pairs(spark, sf_dir):
-    """Stage C features + calibrated match probability (E2-E4, F1-F3, M1)."""
+    """Stage C features + calibrated match probability (E2-E4, M1) with
+    the full string-distance panel (F1: JW, Jaro, Damerau-Levenshtein,
+    char-Jaccard, Levenshtein + shingle-set Jaccard/Dice/overlap/cosine —
+    the textdistance grid of ``scripts/prepare_nil_dataset.py:209-253``)."""
     s = _scored(spark, sf_dir)
     return s.select(
         "left_id",
@@ -137,7 +140,13 @@ def q_scored_pairs(spark, sf_dir):
         "block_key",
         _r6("cosine", 6).alias("cosine"),
         _r6("jaccard_sh", 6).alias("jaccard_sh"),
+        _r6("dice_sh", 6).alias("dice_sh"),
+        _r6("overlap_sh", 6).alias("overlap_sh"),
+        _r6("cosine_sh", 6).alias("cosine_sh"),
         _r6("jw_path", 6).alias("jw_path"),
+        _r6("jaro_base", 6).alias("jaro_base"),
+        _r6("damerau_base", 6).alias("damerau_base"),
+        _r6("charjac_base", 6).alias("charjac_base"),
         _r6("lev_path", 6).alias("lev_path"),
         "exact_sha",
         _r6("match_p", 6).alias("match_p"),
@@ -217,11 +226,28 @@ def q_block_census(spark, sf_dir):
     )
 
 
-def q_node_stats(spark, sf_dir):
-    """Per-node candidate-score stats over its top-k matches — the NIL
-    predictor's score features (max, second, mean, count;
-    ``scripts/prepare_nil_dataset.py:42-76``), via a rank window."""
-    s = _scored(spark, sf_dir)
+STATS_K_GRID = [2, 5, 10, 25, 50, 100]
+RECALL_K_GRID = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def _ranked_candidates(spark, sf_dir):
+    """Symmetrized rep-level candidate list with gold labels and a
+    deterministic per-node rank: (node_id, partner_id, match_p, correct,
+    rk). rk orders by match_p desc then partner_id asc (identical near-dup
+    contents yield identical match_p; an undefined order would diverge
+    from the oracle). The backbone of the score-stat grid / recall@k curve
+    / rank-of-gold diagnostics (``scripts/prepare_nil_dataset.py:27-76``)."""
+    with_sig = _with_sig(spark, sf_dir).persist()
+    reps = blocking.representatives(with_sig)
+    pairs = blocking.candidate_pairs(
+        blocking.block_membership(
+            reps.select("file_id", "lang", "path_stem", "band_keys")
+        ).select("file_id", "block_key")
+    )
+    features = scoring.with_embedding(with_sig).select(
+        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
+    )
+    s = scoring.score_pairs(pairs, features)
     per_node = s.select(
         F.col("left_id").alias("node_id"),
         F.col("right_id").alias("partner_id"),
@@ -233,22 +259,134 @@ def q_node_stats(spark, sf_dir):
             F.col("match_p"),
         )
     )
-    # tie-break on partner_id: identical near-dup contents yield identical
-    # match_p, and an undefined order would diverge from the oracle
-    w = Window.partitionBy("node_id").orderBy(
-        F.desc("match_p"), F.asc("partner_id")
+    gold = reps.select("file_id", "gold_cluster")
+    gn = gold.select(F.col("file_id").alias("node_id"), F.col("gold_cluster").alias("g_n"))
+    gp = gold.select(F.col("file_id").alias("partner_id"), F.col("gold_cluster").alias("g_p"))
+    lbl = (
+        per_node.join(gn, "node_id")
+        .join(gp, "partner_id")
+        .withColumn("correct", F.col("g_n") == F.col("g_p"))
     )
-    topk = per_node.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 10
-    )
-    return topk.groupBy("node_id").agg(
+    w = Window.partitionBy("node_id").orderBy(F.desc("match_p"), F.asc("partner_id"))
+    return lbl.withColumn("rk", F.row_number().over(w))
+
+
+def _rep_gold(spark, sf_dir):
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    return reps.select("file_id", "gold_cluster")
+
+
+def q_node_stats(spark, sf_dir):
+    """Per-node candidate-score stats over its top-k matches at every k in
+    STATS_K_GRID — the NIL predictor's full score-feature grid {max,
+    second, min, mean, median, stdev, count, correct-rank} × k
+    (``scripts/prepare_nil_dataset.py:42-76,170-193``). One rank window,
+    one grid cross-join, one aggregation — no per-k recomputation."""
+    lbl = _ranked_candidates(spark, sf_dir)
+    grid = spark.createDataFrame([(k,) for k in STATS_K_GRID], "k int")
+    topk = lbl.crossJoin(F.broadcast(grid)).filter(F.col("rk") <= F.col("k"))
+    return topk.groupBy("node_id", "k").agg(
         _r6(F.max("match_p"), 6).alias("p_max"),
         _r6(
             F.coalesce(F.max(F.when(F.col("rk") == 2, F.col("match_p"))), F.lit(0.0)),
             6,
         ).alias("p_second"),
+        _r6(F.min("match_p"), 6).alias("p_min"),
         _r6(F.avg("match_p"), 6).alias("p_mean"),
+        _r6(F.median("match_p"), 6).alias("p_median"),
+        _r6(F.coalesce(F.stddev_samp("match_p"), F.lit(0.0)), 6).alias("p_stdev"),
         F.count("*").cast("long").alias("n_cands"),
+        F.coalesce(F.min(F.when(F.col("correct"), F.col("rk"))), F.lit(0))
+        .cast("long")
+        .alias("correct_rank"),
+    ).select(
+        "node_id", F.col("k").cast("long").alias("k"),
+        "p_max", "p_second", "p_min", "p_mean", "p_median", "p_stdev",
+        "n_cands", "correct_rank",
+    )
+
+
+def q_recall_curve(spark, sf_dir):
+    """Blocking/scoring recall@k over ranked candidates at the k-grid —
+    the reference's primary retrieval diagnostic
+    (``blink/main_dense.py:536-553``; rank grid in
+    ``blink/biencoder/zeshel_utils.py:70-99``). A linkable rep (≥1 other
+    rep shares its gold cluster) is recalled at k iff some same-gold
+    partner ranks ≤ k in its candidate list; reps with NO candidates at
+    all stay in the denominator (that is the point of the curve)."""
+    lbl = _ranked_candidates(spark, sf_dir)
+    gold = _rep_gold(spark, sf_dir)
+    csize = gold.groupBy("gold_cluster").agg(F.count("*").alias("n_g"))
+    linkable = (
+        gold.join(csize, "gold_cluster")
+        .filter(F.col("n_g") >= 2)
+        .select(F.col("file_id").alias("node_id"))
+    )
+    gold_rank = (
+        lbl.filter(F.col("correct"))
+        .groupBy("node_id")
+        .agg(F.min("rk").alias("gold_rank"))
+    )
+    lr = linkable.join(gold_rank, "node_id", "left")
+    grid = spark.createDataFrame([(k,) for k in RECALL_K_GRID], "k int")
+    return (
+        lr.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("gold_rank") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            "n_hit",
+            _r6(F.col("n_hit") / F.col("n_nodes"), 6).alias("recall"),
+        )
+    )
+
+
+def q_rank_of_gold(spark, sf_dir):
+    """Per linkable rep: the rank of its best same-gold candidate (0 = not
+    retrieved at all) — the error-analysis primitive "gold was retrieved
+    but ranked 3rd" (``scripts/prepare_nil_dataset.py:27-39``)."""
+    lbl = _ranked_candidates(spark, sf_dir)
+    gold = _rep_gold(spark, sf_dir)
+    csize = gold.groupBy("gold_cluster").agg(F.count("*").alias("n_g"))
+    linkable = (
+        gold.join(csize, "gold_cluster")
+        .filter(F.col("n_g") >= 2)
+        .select(F.col("file_id").alias("node_id"))
+    )
+    gold_rank = (
+        lbl.filter(F.col("correct"))
+        .groupBy("node_id")
+        .agg(F.min("rk").alias("gr"))
+    )
+    return linkable.join(gold_rank, "node_id", "left").select(
+        "node_id", F.coalesce(F.col("gr"), F.lit(0)).cast("long").alias("gold_rank")
+    )
+
+
+def q_cluster_mode_lang(spark, sf_dir):
+    """Per-cluster modal attribute (most frequent member lang, ties → min
+    lang) — the per-entity mode aggregate of the KBP loop
+    (``scripts/kbp_simulation.py:239-240``), §2.5 A5."""
+    cl = _clusters(spark, sf_dir)
+    ing = _ingested(spark, sf_dir).select("file_id", "lang")
+    counts = cl.join(ing, "file_id").groupBy("cluster_id", "lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("lang").alias("mode_lang"),
+            F.col("n").cast("long").alias("n_mode"),
+        )
     )
 
 
@@ -361,18 +499,39 @@ feat AS (
          {emb} AS embedding
   FROM bands
 ),
-scored AS (
+scored0 AS (
   SELECT p.left_id, p.right_id, p.block_key,
+         lf.base AS l_base, rf.base AS r_base,
+         lf.fpath AS l_fpath, rf.fpath AS r_fpath,
+         lf.content_sha = rf.content_sha AS exact_sha,
          list_dot_product(lf.embedding, rf.embedding) AS cosine,
-         CAST(len(list_intersect(lf.sh_hashes, rf.sh_hashes)) AS DOUBLE)
-           / len(list_distinct(lf.sh_hashes || rf.sh_hashes)) AS jaccard_sh,
-         jaro_winkler_similarity(lf.base, rf.base) AS jw_path,
-         1.0 - CAST(levenshtein(lf.fpath, rf.fpath) AS DOUBLE)
-             / greatest(len(lf.fpath), len(rf.fpath)) AS lev_path,
-         lf.content_sha = rf.content_sha AS exact_sha
+         CAST(len(list_intersect(lf.sh_hashes, rf.sh_hashes)) AS DOUBLE) AS inter,
+         CAST(len(lf.sh_hashes) AS DOUBLE) AS la,
+         CAST(len(rf.sh_hashes) AS DOUBLE) AS lb
   FROM pairs p
   JOIN feat lf ON p.left_id = lf.file_id
   JOIN feat rf ON p.right_id = rf.file_id
+),
+scored AS (
+  SELECT left_id, right_id, block_key, cosine,
+         CASE WHEN la + lb - inter > 0 THEN inter / (la + lb - inter)
+              ELSE 0.0 END AS jaccard_sh,
+         2.0 * inter / (la + lb) AS dice_sh,
+         inter / least(la, lb) AS overlap_sh,
+         inter / sqrt(la * lb) AS cosine_sh,
+         jaro_winkler_similarity(l_base, r_base) AS jw_path,
+         jaro_similarity(l_base, r_base) AS jaro_base,
+         CASE WHEN greatest(len(l_base), len(r_base)) > 0
+              THEN 1.0 - CAST(damerau_levenshtein(l_base, r_base) AS DOUBLE)
+                   / greatest(len(l_base), len(r_base))
+              ELSE 1.0 END AS damerau_base,
+         CASE WHEN len(l_base) = 0 AND len(r_base) = 0 THEN 1.0
+              WHEN len(l_base) = 0 OR len(r_base) = 0 THEN 0.0
+              ELSE jaccard(l_base, r_base) END AS charjac_base,
+         1.0 - CAST(levenshtein(l_fpath, r_fpath) AS DOUBLE)
+             / greatest(len(l_fpath), len(r_fpath)) AS lev_path,
+         exact_sha
+  FROM scored0
 ),
 scored_p AS (SELECT *, {match_p} AS match_p FROM scored),
 sha_edges AS (
@@ -403,6 +562,38 @@ clusters AS (
 """
 
 
+# shared oracle fragments for the rank-based diagnostics (appended to the
+# main CTE chain; each fragment starts with a ", name AS" continuation)
+_ranked_sql = """
+, per_node AS (
+   SELECT left_id AS node_id, right_id AS partner_id, match_p FROM scored_p
+   UNION ALL
+   SELECT right_id AS node_id, left_id AS partner_id, match_p FROM scored_p
+),
+gold AS (SELECT file_id, gold_cluster FROM reps),
+lbl AS (
+  SELECT pn.node_id, pn.partner_id, pn.match_p,
+         gn.gold_cluster = gp.gold_cluster AS correct,
+         row_number() OVER (PARTITION BY pn.node_id
+                            ORDER BY pn.match_p DESC, pn.partner_id ASC) AS rk
+  FROM per_node pn
+  JOIN gold gn ON pn.node_id = gn.file_id
+  JOIN gold gp ON pn.partner_id = gp.file_id
+)"""
+
+_linkable_sql = """
+, csize AS (
+  SELECT gold_cluster, count(*) AS n_g FROM gold GROUP BY gold_cluster
+),
+linkable AS (
+  SELECT g.file_id AS node_id FROM gold g JOIN csize USING (gold_cluster)
+  WHERE csize.n_g >= 2
+),
+gold_rank AS (
+  SELECT node_id, min(rk) AS gold_rank FROM lbl WHERE correct GROUP BY node_id
+)"""
+
+
 def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     c = _cte_chain(sf)
     # recursive CTE must be declared on the WITH; prepend keyword
@@ -418,7 +609,13 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
         + """SELECT left_id, right_id, block_key,
                (round(cosine, 6) + 0.0) AS cosine,
                (round(jaccard_sh, 6) + 0.0) AS jaccard_sh,
+               (round(dice_sh, 6) + 0.0) AS dice_sh,
+               (round(overlap_sh, 6) + 0.0) AS overlap_sh,
+               (round(cosine_sh, 6) + 0.0) AS cosine_sh,
                (round(jw_path, 6) + 0.0) AS jw_path,
+               (round(jaro_base, 6) + 0.0) AS jaro_base,
+               (round(damerau_base, 6) + 0.0) AS damerau_base,
+               (round(charjac_base, 6) + 0.0) AS charjac_base,
                (round(lev_path, 6) + 0.0) AS lev_path,
                exact_sha,
                (round(match_p, 6) + 0.0) AS match_p
@@ -463,29 +660,52 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                  SELECT block_key, count(*) AS n FROM memb GROUP BY block_key
                ) GROUP BY n
              )""",
-        "er_node_stats": c
-        + """, per_node AS (
-               SELECT left_id AS node_id, right_id AS partner_id, match_p
-               FROM scored_p
-               UNION ALL
-               SELECT right_id AS node_id, left_id AS partner_id, match_p
-               FROM scored_p
-             ),
+        "er_node_stats": c + _ranked_sql + f""",
+             grid(k) AS (VALUES {", ".join(f"({k})" for k in STATS_K_GRID)}),
              topk AS (
-               SELECT * FROM (
-                 SELECT node_id, match_p, row_number() OVER (
-                   PARTITION BY node_id
-                   ORDER BY match_p DESC, partner_id ASC
-                 ) AS rk FROM per_node
-               ) WHERE rk <= 10
+               SELECT l.*, g.k FROM lbl l CROSS JOIN grid g WHERE l.rk <= g.k
              )
-             SELECT node_id,
+             SELECT node_id, CAST(k AS BIGINT) AS k,
                (round(max(match_p), 6) + 0.0) AS p_max,
                (round(coalesce(max(CASE WHEN rk = 2 THEN match_p END), 0.0), 6)
                  + 0.0) AS p_second,
+               (round(min(match_p), 6) + 0.0) AS p_min,
                (round(avg(match_p), 6) + 0.0) AS p_mean,
-               count(*) AS n_cands
-             FROM topk GROUP BY node_id""",
+               (round(median(match_p), 6) + 0.0) AS p_median,
+               (round(coalesce(stddev_samp(match_p), 0.0), 6) + 0.0) AS p_stdev,
+               count(*) AS n_cands,
+               CAST(coalesce(min(CASE WHEN correct THEN rk END), 0) AS BIGINT)
+                 AS correct_rank
+             FROM topk GROUP BY node_id, k""",
+        "er_recall_curve": c + _ranked_sql + _linkable_sql + f""",
+             grid(k) AS (VALUES {", ".join(f"({k})" for k in RECALL_K_GRID)})
+             SELECT CAST(g.k AS BIGINT) AS k,
+               count(*) AS n_nodes,
+               CAST(sum(CASE WHEN gr.gold_rank <= g.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               (round(CAST(sum(CASE WHEN gr.gold_rank <= g.k THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) + 0.0) AS recall
+             FROM linkable lk
+             LEFT JOIN gold_rank gr ON gr.node_id = lk.node_id
+             CROSS JOIN grid g
+             GROUP BY g.k""",
+        "er_rank_of_gold": c + _ranked_sql + _linkable_sql + """
+             SELECT lk.node_id,
+               CAST(coalesce(gr.gold_rank, 0) AS BIGINT) AS gold_rank
+             FROM linkable lk
+             LEFT JOIN gold_rank gr ON gr.node_id = lk.node_id""",
+        "er_cluster_mode_lang": c
+        + """, lang_counts AS (
+               SELECT cl.cluster_id, i.lang, count(*) AS n
+               FROM clusters cl JOIN ing i ON cl.file_id = i.file_id
+               GROUP BY cl.cluster_id, i.lang
+             )
+             SELECT cluster_id, lang AS mode_lang, CAST(n AS BIGINT) AS n_mode
+             FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY cluster_id ORDER BY n DESC, lang ASC
+               ) AS rn FROM lang_counts
+             ) WHERE rn = 1""",
         "er_blocking_recall": c
         + """, pos AS (
                SELECT a.file_id AS left_id, b.file_id AS right_id
@@ -524,4 +744,7 @@ QUERIES = {
     "er_node_stats": q_node_stats,
     "er_review_queue": q_review_queue,
     "er_blocking_recall": q_blocking_recall,
+    "er_recall_curve": q_recall_curve,
+    "er_rank_of_gold": q_rank_of_gold,
+    "er_cluster_mode_lang": q_cluster_mode_lang,
 }

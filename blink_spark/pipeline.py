@@ -155,7 +155,11 @@ def fit_match_model(tables: dict[str, DataFrame], labeled_source: DataFrame | No
         tables["scored_pairs"],
         ["left_id", "right_id", "block_key"],
     )
-    return scoring.fit_combiner(labeled)
+    # training hygiene (M2/M3): seeded majority-class undersampling +
+    # holdout split; the model is fit on the balanced train partition only
+    # (``scripts/feature_ablation_study.py:925-945``)
+    train, _holdout = scoring.train_test_split(labeled)
+    return scoring.fit_combiner(train)
 
 
 def run_calibrated(

@@ -26,7 +26,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from blink_spark import minhash
 from blink_spark.minhash import EMBED_DIM
@@ -144,6 +150,85 @@ def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
 jw_udf = F.pandas_udf(_jw_batch, DoubleType())
 
 
+def damerau_levenshtein(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (matches DuckDB's
+    ``damerau_levenshtein``: 'ca'→'abc' = 2, not the OSA 3)."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0:
+        return n2
+    if n2 == 0:
+        return n1
+    maxdist = n1 + n2
+    da: dict[str, int] = {}
+    d = [[0] * (n2 + 2) for _ in range(n1 + 2)]
+    d[0][0] = maxdist
+    for i in range(n1 + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(n2 + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, n1 + 1):
+        db = 0
+        for j in range(1, n2 + 1):
+            k = da.get(s2[j - 1], 0)
+            l = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[n1 + 1][n2 + 1]
+
+
+def char_jaccard(s1: str, s2: str) -> float:
+    """Character-set Jaccard (matches DuckDB ``jaccard``; the empty-string
+    guard mirrors the CASE the oracle wraps around DuckDB's, which throws)."""
+    a, b = set(s1), set(s2)
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+# explicit StructType (a DDL string would need an active SparkContext at
+# import time)
+_PANEL_SCHEMA = StructType(
+    [
+        StructField("jw", DoubleType()),
+        StructField("jaro", DoubleType()),
+        StructField("dl", LongType()),
+        StructField("cj", DoubleType()),
+    ]
+)
+
+
+def _panel_batch(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """All per-basename-pair string distances in one Arrow round-trip —
+    the NIL predictor's textdistance panel
+    (``scripts/prepare_nil_dataset.py:209-253``), evaluated once per
+    DISTINCT pair (see score_pairs)."""
+    rows = []
+    for x, y in zip(a, b):
+        x, y = x or "", y or ""
+        rows.append(
+            (jaro_winkler(x, y), _jaro(x, y), damerau_levenshtein(x, y),
+             char_jaccard(x, y))
+        )
+    return pd.DataFrame(rows, columns=["jw", "jaro", "dl", "cj"])
+
+
+panel_udf = F.pandas_udf(_panel_batch, _PANEL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Pair features + combiner
 # ---------------------------------------------------------------------------
@@ -247,30 +332,58 @@ def score_pairs(
         *[F.col(f"__fb.{c}").alias(f"r_{c}") for c in feat_cols],
     )
     df = df.withColumn("cosine", cosine_col(F.col("l_embedding"), F.col("r_embedding")))
+    # one hash-set build per pair feeds the whole shingle-set similarity
+    # family: |A∪B| = |A|+|B|−|A∩B|, dice/overlap/cosine all derive from
+    # the same three sizes (shingle sets are never empty by construction —
+    # minhash.shingles_col has an empty-row sentinel)
+    la = F.size(F.col("l_shingle_hashes"))
+    lb = F.size(F.col("r_shingle_hashes"))
     df = df.withColumn(
-        "jaccard_sh", jaccard_col(F.col("l_shingle_hashes"), F.col("r_shingle_hashes"))
+        "__inter",
+        F.size(F.array_intersect(F.col("l_shingle_hashes"), F.col("r_shingle_hashes"))),
     )
-    # Jaro-Winkler depends only on the basename pair, and distinct basename
-    # pairs are orders of magnitude fewer than candidate pairs (paths repeat
-    # massively — that is exactly why (lang, path_stem) is a blocking key).
-    # Evaluating the Python UDF once per distinct pair and broadcast-joining
-    # back removes the Arrow round-trip from the 3M-row hot path (~4x
-    # scoring-stage speedup at sf0.1, identical values).
-    jw_map = (
+    inter = F.col("__inter")
+    union = la + lb - inter
+    df = (
+        df.withColumn("jaccard_sh", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .withColumn("dice_sh", 2.0 * inter / (la + lb))
+        .withColumn("overlap_sh", inter / F.least(la, lb))
+        .withColumn("cosine_sh", inter / F.sqrt(la.cast("double") * lb))
+    )
+    # The string-distance panel depends only on the basename pair, and
+    # distinct basename pairs are orders of magnitude fewer than candidate
+    # pairs (paths repeat massively — that is exactly why (lang, path_stem)
+    # is a blocking key). Evaluating ONE Arrow UDF once per distinct pair
+    # and joining back removes the Python round-trip from the 3M-row hot
+    # path (~4x scoring-stage speedup at sf0.1, identical values).
+    panel_map = (
         df.select("l_base", "r_base")
         .distinct()
-        .withColumn("jw_path", jw_udf(F.col("l_base"), F.col("r_base")))
+        .withColumn("__panel", panel_udf(F.col("l_base"), F.col("r_base")))
+        .select(
+            "l_base",
+            "r_base",
+            F.col("__panel.jw").alias("jw_path"),
+            F.col("__panel.jaro").alias("jaro_base"),
+            F.col("__panel.dl").alias("__dl"),
+            F.col("__panel.cj").alias("charjac_base"),
+        )
     )
     # Broadcast gate: with broadcast_features the caller asserts the
-    # per-file payload fits executor memory, and jw_map (distinct basename
-    # pairs, ~100 B/row) is strictly smaller — hint it explicitly. On the
-    # bucketed scale path (broadcast_features=False) leave the choice to
-    # AQE: the distinct's exchange gives it exact runtime stats, so it
-    # broadcasts when small and degrades to a shuffle join instead of
+    # per-file payload fits executor memory, and panel_map (distinct
+    # basename pairs, ~100 B/row) is strictly smaller — hint it explicitly.
+    # On the bucketed scale path (broadcast_features=False) leave the
+    # choice to AQE: the distinct's exchange gives it exact runtime stats,
+    # so it broadcasts when small and degrades to a shuffle join instead of
     # OOMing the driver when basename diversity explodes at 100×.
     if broadcast_features:
-        jw_map = F.broadcast(jw_map)
-    df = df.join(jw_map, ["l_base", "r_base"], "left")
+        panel_map = F.broadcast(panel_map)
+    df = df.join(panel_map, ["l_base", "r_base"], "left")
+    mxb = F.greatest(F.length("l_base"), F.length("r_base"))
+    df = df.withColumn(
+        "damerau_base",
+        F.when(mxb > 0, 1.0 - F.col("__dl") / mxb).otherwise(F.lit(1.0)),
+    )
     df = df.withColumn("lev_path", lev_sim_col(F.col("l_path"), F.col("r_path")))
     df = df.withColumn("exact_sha", F.col("l_content_sha") == F.col("r_content_sha"))
     df = df.withColumn(
@@ -285,7 +398,9 @@ def score_pairs(
     )
     return df.select(
         "left_id", "right_id", "block_key", "salt",
-        "cosine", "jaccard_sh", "jw_path", "lev_path", "exact_sha", "match_p",
+        "cosine", "jaccard_sh", "dice_sh", "overlap_sh", "cosine_sh",
+        "jw_path", "jaro_base", "damerau_base", "charjac_base", "lev_path",
+        "exact_sha", "match_p",
     )
 
 
@@ -299,7 +414,69 @@ def match_edges(scored: DataFrame, tau: float = MATCH_TAU) -> DataFrame:
 # Calibrated spark.ml combiner (the trained NIL-predictor analog)
 # ---------------------------------------------------------------------------
 
-FEATURE_COLS = ["cosine", "jaccard_sh", "jw_path", "lev_path"]
+FEATURE_COLS = [
+    "cosine", "jaccard_sh", "dice_sh", "overlap_sh", "cosine_sh",
+    "jw_path", "jaro_base", "damerau_base", "charjac_base", "lev_path",
+]
+
+
+def train_test_split(
+    labeled: DataFrame,
+    seed: int = 1234,
+    holdout_frac: float = 0.2,
+    max_neg_per_pos: float = 3.0,
+):
+    """Training hygiene for the combiner (M2/M3): seeded undersampling of
+    the majority class via ``sampleBy`` + seeded ``randomSplit`` holdout —
+    mirrors ``RandomUnderSampler`` + ``train_test_split(random_state=1234)``
+    at ``scripts/feature_ablation_study.py:925-945``.
+
+    ``labeled`` needs FEATURE_COLS + boolean ``is_match``. Returns
+    (train, holdout); both carry a ``label`` double column. The only
+    driver-side collect is the 2-row class census.
+    """
+    lab = labeled.withColumn("label", F.col("is_match").cast("double"))
+    counts = {r["label"]: r["n"] for r in
+              lab.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    n_pos, n_neg = counts.get(1.0, 0), counts.get(0.0, 0)
+    fractions = {0.0: 1.0, 1.0: 1.0}
+    if n_pos and n_neg > max_neg_per_pos * n_pos:
+        fractions[0.0] = max_neg_per_pos * n_pos / n_neg
+    elif n_neg and n_pos > max_neg_per_pos * n_neg:
+        fractions[1.0] = max_neg_per_pos * n_neg / n_pos
+    bal = lab.sampleBy("label", fractions, seed=seed)
+    train, holdout = bal.randomSplit([1.0 - holdout_frac, holdout_frac], seed=seed)
+    return train, holdout
+
+
+def holdout_metrics(model, holdout: DataFrame, tau: float = MATCH_TAU) -> dict:
+    """Precision/recall/F1 of the fitted combiner on a held-out labeled
+    set at threshold ``tau`` — the classification_report of
+    ``scripts/feature_ablation_study.py:997-1026``, as one groupBy."""
+    pred = apply_combiner(model, holdout).withColumn(
+        "pred_match", F.col("match_p_ml") >= F.lit(tau)
+    )
+    rows = pred.groupBy("is_match", "pred_match").agg(
+        F.count("*").alias("n")
+    ).collect()
+    tp = fp = fn = tn = 0
+    for r in rows:
+        if r["is_match"] and r["pred_match"]:
+            tp = r["n"]
+        elif r["is_match"]:
+            fn = r["n"]
+        elif r["pred_match"]:
+            fp = r["n"]
+        else:
+            tn = r["n"]
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": precision, "recall": recall, "f1": f1,
+        "n_holdout": tp + fp + fn + tn,
+    }
 
 
 def fit_combiner(labeled: DataFrame, seed: int = 1234):
