@@ -58,15 +58,43 @@ class StageWriter:
         DataFrame reading the persisted table (stable across restarts)."""
         path = self._stage_path(stage)
         if not self.is_done(stage):
+            from pyspark.sql import functions as F
+
             t0 = time.monotonic()
             df = build()
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
+            # per-partition lineage + skew metrics (north-rule: every stage
+            # records enough to spot a hot partition without re-running):
+            # one tiny aggregate over spark_partition_id per materialization
+            pstats = (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.count("*").alias("parts"),
+                    F.sum("n").alias("rows"),
+                    F.min("n").alias("p_min"),
+                    F.max("n").alias("p_max"),
+                    F.avg("n").alias("p_mean"),
+                )
+                .collect()[0]
+            )
+            skew = (
+                float(pstats["p_max"]) / float(pstats["p_mean"])
+                if pstats["p_mean"]
+                else 1.0
+            )
             rec = {
                 "run_id": self.run_id,
                 "stage": stage,
-                "rows": out.count(),
-                "n_partitions": out.rdd.getNumPartitions(),
+                "rows": pstats["rows"] or 0,
+                "n_partitions": pstats["parts"],
+                "partition_rows": {
+                    "min": pstats["p_min"] or 0,
+                    "max": pstats["p_max"] or 0,
+                    "mean": round(float(pstats["p_mean"] or 0.0), 1),
+                },
+                "skew_max_over_mean": round(skew, 3),
                 "wall_s": round(time.monotonic() - t0, 3),
                 "finished_utc_ns": time.time_ns(),
             }

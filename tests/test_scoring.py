@@ -33,6 +33,32 @@ def test_jaro_winkler_matches_duckdb(duck):
         assert math.isclose(got, want, abs_tol=1e-12), (a, b, got, want)
 
 
+def test_panel_distances_match_duckdb(duck):
+    """The whole basename panel is pinned to DuckDB semantics: unrestricted
+    Damerau-Levenshtein (transposition + interleaving edits), Jaro, and
+    character-set Jaccard (DuckDB's jaccard throws on empty input — the
+    engine-side guard defines those cases)."""
+    for a, b in JW_CASES + [("ca", "abc"), ("abcdef", "badcfe")]:
+        got_dl = scoring.damerau_levenshtein(a, b)
+        want_dl = duck.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert got_dl == want_dl, ("dl", a, b, got_dl, want_dl)
+
+        got_j = scoring._jaro(a, b)
+        want_j = duck.execute(
+            "SELECT jaro_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert math.isclose(got_j, want_j, abs_tol=1e-12), ("jaro", a, b)
+
+        if a and b:  # duckdb jaccard raises on empty strings
+            got_cj = scoring.char_jaccard(a, b)
+            want_cj = duck.execute(
+                "SELECT jaccard(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert math.isclose(got_cj, want_cj, abs_tol=1e-12), ("cj", a, b)
+
+
 def test_embedding_unit_norm_and_determinism(spark):
     src = spark.read.parquet(ensure_fixture(0.001)).limit(50)
     with_sig = blocking.with_lsh_columns(ingest(src))
