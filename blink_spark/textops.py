@@ -240,6 +240,67 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
+EMB_ND_TAU = 0.8  # cosine threshold for embedding near-duplicates
+EMB_ND_BANDS = 8
+EMB_ND_ROWS = 4  # bits per band; P(band hit) = (1 - θ/π)^4, 8 bands OR'd
+_emb_nd_rng = np.random.RandomState(23)
+EMB_ND_PLANES: list[list[float]] = [
+    [round(float(x), 6) + 0.0 for x in _emb_nd_rng.randn(scoring.EMBED_DIM)]
+    for _ in range(EMB_ND_BANDS * EMB_ND_ROWS)
+]
+
+
+def q_doc_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicates — the third dedup family next to
+    MinHash-Jaccard and SimHash: unit feature-hash embeddings, banded
+    random-hyperplane LSH (8 bands × 4 sign bits; a single 16-bit table
+    would recall only ~8% of cosine-0.9 pairs, the OR of 8 short bands
+    recalls ~99.8%), bucket self-join, exact cosine confirm ≥ τ.
+    The same signature→band→bucket-join→verify shape as the MinHash path,
+    so it scales identically (no all-pairs comparison anywhere)."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    emb = scoring.with_embedding(df, "sh_hashes").select("doc_id", "embedding")
+    keys = []
+    for j in range(EMB_ND_BANDS):
+        key = F.lit(0)
+        for r_ in range(EMB_ND_ROWS):
+            plane = EMB_ND_PLANES[j * EMB_ND_ROWS + r_]
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(d > 0, F.lit(1 << r_)).otherwise(F.lit(0))
+        keys.append(F.concat(F.lit(f"b{j}:"), key.cast("string")))
+    memb = emb.select("doc_id", "embedding", F.explode(F.array(*keys)).alias("bk"))
+    l = memb.select(
+        F.col("doc_id").alias("left_id"), F.col("embedding").alias("l_e"), "bk"
+    )
+    r = memb.select(
+        F.col("doc_id").alias("right_id"), F.col("embedding").alias("r_e"), "bk"
+    )
+    pairs = (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_e", "r_e")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("l_e"), F.col("r_e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= EMB_ND_TAU)
+        .select("left_id", "right_id", _r6("cosine", 6).alias("cosine"))
+    )
+
+
 def q_doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al.): rolling k-gram hashes,
     per-window minimum, distinct — the standard plagiarism/near-dup
@@ -391,6 +452,37 @@ walk(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node"""
     ).replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
 
+    emb = scoring.sql_embedding("sh_hashes")
+    band_selects = []
+    for j in range(EMB_ND_BANDS):
+        bits = []
+        for r_ in range(EMB_ND_ROWS):
+            plane = EMB_ND_PLANES[j * EMB_ND_ROWS + r_]
+            arr = ", ".join(repr(x) for x in plane)
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 "
+                f"THEN {1 << r_} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT doc_id, v, 'b{j}:' || CAST(({' + '.join(bits)}) AS VARCHAR)"
+            f" AS bk FROM emb"
+        )
+    emb_memb = "\nUNION ALL\n".join(band_selects)
+    sql["doc_emb_near_dup"] = c + f""",
+emb AS (SELECT doc_id, {emb} AS v FROM docs),
+emb_memb AS ({emb_memb}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM emb_memb l JOIN emb_memb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+),
+emb_scored AS (
+  SELECT p.left_id, p.right_id, list_dot_product(a.v, b.v) AS cosine
+  FROM cand p JOIN emb a ON a.doc_id = p.left_id
+              JOIN emb b ON b.doc_id = p.right_id
+)
+SELECT left_id, right_id, (round(cosine, 6) + 0.0) AS cosine
+FROM emb_scored WHERE cosine >= {EMB_ND_TAU}"""
+
     grams = minhash.sql_grams("tokens", WINNOW_K)
     gh = f"list_transform(grams, __g -> {minhash.sql_base_hash('__g')})"
     sql["doc_winnow_fingerprints"] = f"""
@@ -416,6 +508,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_emb_near_dup": q_doc_emb_near_dup,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
 }
