@@ -229,8 +229,10 @@ def _throughput_subprocess(sf_dir: str, cpus: int, parts: int) -> dict:
 
 def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) -> dict:
     """local[n] vs local[4n], one fresh process per measurement; identical
-    plans (shuffle partitions pinned to 16n for both). Best-of-`repeats`
-    per level damps JIT/startup noise.
+    plans (shuffle partitions pinned to the same data-sized count for
+    both levels). Best-of-`repeats` per level damps JIT/startup noise —
+    this host's bursty neighbor contention has been measured at up to 4×
+    wall-clock, so only the per-level minimum is meaningful.
 
     Uses a larger fixture (sf=0.25, ~19M pairs) than the default bench so
     the parallel scoring work dominates the per-action serial costs
@@ -242,7 +244,13 @@ def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) 
 
         ensure_fixture(sf)  # generate once before timing
         sf_dir = f"/root/testdata/sf{sf}"  # resolved back to the fixture
-    parts = 16 * n
+    # partitions sized by DATA, identical at both levels (plan identity):
+    # thread-count-proportional partitioning (16n) makes the low level run
+    # few huge sort partitions that spill — the levels then measure disk,
+    # not scaling. 1024/sf-unit ≈ 250k pairs/partition at sf0.25.
+    from blink_spark.fixtures import sf_from_dir as _sfd2
+
+    parts = max(64, int(1024 * _sfd2(sf_dir)))
     lo = min(
         (_throughput_subprocess(sf_dir, n, parts) for _ in range(repeats)),
         key=lambda r: r["wall_s"],
