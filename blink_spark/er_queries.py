@@ -46,12 +46,34 @@ def load_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(ensure_fixture(sf_from_dir(sf_dir)))
 
 
+# Shared-stage cache: the driver's CORRECTNESS harness calls each of the
+# 16 ER queries independently, and every one re-derives the same
+# ingest→signatures→scoring chain. One persisted instance per
+# (application, sf_dir) is reused across calls instead — ~3× less work
+# for a full verify sweep, and exactly one persist per stage (round-1
+# leaked a persist per query invocation).
+_stage_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _stage_cache:
+        _stage_cache[key] = build().persist()
+    return _stage_cache[key]
+
+
 def _ingested(spark, sf_dir):
-    return ingest.ingest(load_source(spark, sf_dir))
+    return _cached(
+        spark, sf_dir, "ingested",
+        lambda: ingest.ingest(load_source(spark, sf_dir)),
+    )
 
 
 def _with_sig(spark, sf_dir):
-    return blocking.with_lsh_columns(_ingested(spark, sf_dir))
+    return _cached(
+        spark, sf_dir, "with_sig",
+        lambda: blocking.with_lsh_columns(_ingested(spark, sf_dir)),
+    )
 
 
 def _membership(spark, sf_dir):
@@ -62,23 +84,22 @@ def _membership(spark, sf_dir):
 
 
 def _pairs(spark, sf_dir):
-    return blocking.candidate_pairs(
-        _membership(spark, sf_dir).select("file_id", "block_key")
+    return _cached(
+        spark, sf_dir, "pairs",
+        lambda: blocking.candidate_pairs(
+            _membership(spark, sf_dir).select("file_id", "block_key")
+        ),
     )
 
 
 def _scored(spark, sf_dir):
-    with_sig = _with_sig(spark, sf_dir).persist()
-    reps = blocking.representatives(with_sig)
-    pairs = blocking.candidate_pairs(
-        blocking.block_membership(
-            reps.select("file_id", "lang", "path_stem", "band_keys")
-        ).select("file_id", "block_key")
-    )
-    features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-    )
-    return scoring.score_pairs(pairs, features)
+    def build():
+        features = scoring.with_embedding(_with_sig(spark, sf_dir)).select(
+            "file_id", "path", "content_sha", "shingle_hashes", "embedding"
+        )
+        return scoring.score_pairs(_pairs(spark, sf_dir), features)
+
+    return _cached(spark, sf_dir, "scored", build)
 
 
 def _edges(spark, sf_dir):
@@ -92,10 +113,14 @@ def _edges(spark, sf_dir):
 
 
 def _clusters(spark, sf_dir):
-    scored = _scored(spark, sf_dir)
-    rep_edges = scoring.match_edges(scored).persist()
-    membership = blocking.rep_map(_ingested(spark, sf_dir))
-    return clustering.connected_components_via_reps(rep_edges, membership)
+    def build():
+        # match_edges is a cheap filter over the persisted scored table,
+        # so CC's iterations re-read memory, not the scoring DAG
+        rep_edges = scoring.match_edges(_scored(spark, sf_dir))
+        membership = blocking.rep_map(_ingested(spark, sf_dir))
+        return clustering.connected_components_via_reps(rep_edges, membership)
+
+    return _cached(spark, sf_dir, "clusters", build)
 
 
 # ---------------------------------------------------------------------------
@@ -175,14 +200,8 @@ def q_cluster_sizes(spark, sf_dir):
 def q_confusion(spark, sf_dir):
     """Pairwise confusion counts vs gold over the candidate-pair universe
     (classification_report analog, §2.5 A9)."""
-    ing = _ingested(spark, sf_dir).persist()
-    with_sig = blocking.with_lsh_columns(ing)
-    reps = blocking.representatives(with_sig)
-    pairs = blocking.candidate_pairs(
-        blocking.block_membership(
-            reps.select("file_id", "lang", "path_stem", "band_keys")
-        ).select("file_id", "block_key")
-    )
+    ing = _ingested(spark, sf_dir)
+    pairs = _pairs(spark, sf_dir)
     sha = blocking.exact_dup_edges(ing)
     universe = (
         pairs.select("left_id", "right_id", "block_key")
@@ -192,16 +211,7 @@ def q_confusion(spark, sf_dir):
     )
     gold = ing.select("file_id", "gold_cluster")
     labeled = evaluate.labeled_pairs(universe, gold)
-
-    features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-    )
-    scored = scoring.score_pairs(pairs, features)
-    rep_edges = scoring.match_edges(scored).persist()
-    clusters = clustering.connected_components_via_reps(
-        rep_edges, blocking.rep_map(ing)
-    )
-    pred = evaluate.predicted_pair_labels(labeled, clusters)
+    pred = evaluate.predicted_pair_labels(labeled, _clusters(spark, sf_dir))
     return evaluate.pairwise_confusion(pred).select(
         "is_match", "pred_match", F.col("n").cast("long").alias("n")
     )
@@ -237,17 +247,7 @@ def _ranked_candidates(spark, sf_dir):
     contents yield identical match_p; an undefined order would diverge
     from the oracle). The backbone of the score-stat grid / recall@k curve
     / rank-of-gold diagnostics (``scripts/prepare_nil_dataset.py:27-76``)."""
-    with_sig = _with_sig(spark, sf_dir).persist()
-    reps = blocking.representatives(with_sig)
-    pairs = blocking.candidate_pairs(
-        blocking.block_membership(
-            reps.select("file_id", "lang", "path_stem", "band_keys")
-        ).select("file_id", "block_key")
-    )
-    features = scoring.with_embedding(with_sig).select(
-        "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-    )
-    s = scoring.score_pairs(pairs, features)
+    s = _scored(spark, sf_dir)
     per_node = s.select(
         F.col("left_id").alias("node_id"),
         F.col("right_id").alias("partner_id"),
@@ -259,7 +259,7 @@ def _ranked_candidates(spark, sf_dir):
             F.col("match_p"),
         )
     )
-    gold = reps.select("file_id", "gold_cluster")
+    gold = _rep_gold(spark, sf_dir)
     gn = gold.select(F.col("file_id").alias("node_id"), F.col("gold_cluster").alias("g_n"))
     gp = gold.select(F.col("file_id").alias("partner_id"), F.col("gold_cluster").alias("g_p"))
     lbl = (
@@ -411,16 +411,10 @@ def q_review_queue(spark, sf_dir):
 def q_blocking_recall(spark, sf_dir):
     """Gold-pair coverage of blocking — the recall@k analog
     (``blink/main_dense.py:536-553``)."""
-    ing = _ingested(spark, sf_dir).persist()
+    ing = _ingested(spark, sf_dir)
     gold = ing.select("file_id", "gold_cluster")
     pos = evaluate.gold_positive_pairs(gold)
-    with_sig = blocking.with_lsh_columns(ing)
-    reps = blocking.representatives(with_sig)
-    pairs = blocking.candidate_pairs(
-        blocking.block_membership(
-            reps.select("file_id", "lang", "path_stem", "band_keys")
-        ).select("file_id", "block_key")
-    )
+    pairs = _pairs(spark, sf_dir)
     sha = blocking.exact_dup_edges(ing)
     universe = (
         pairs.select("left_id", "right_id")
