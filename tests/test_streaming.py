@@ -68,3 +68,39 @@ def test_streamed_batches_equal_one_shot(spark, tmp_path):
     processor(spark.read.parquet(ensure_fixture(0.001)), 2)  # batch_id 2 → v3
     assert streaming._read_manifest(state_dir) == entries
     assert os.path.getmtime(os.path.join(state_dir, "manifest.jsonl")) == before
+
+
+def test_partial_publish_recovers_on_replay(spark, tmp_path):
+    """Crash-safety of the manifest-last protocol: orphan data dirs from a
+    crash BEFORE the manifest append (the only unsafe window) must be
+    ignored by discovery and cleanly overwritten by the replayed batch."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(ensure_fixture(0.001)).iloc[:200]
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    batch = spark.createDataFrame(pdf)
+
+    # simulate the crash: feature + clusters dirs written, NO manifest line
+    feat_dir = os.path.join(state_dir, "features", "batch=0")
+    incremental_feats = __import__(
+        "blink_spark.incremental", fromlist=["batch_features"]
+    ).batch_features(batch)
+    incremental_feats.write.mode("overwrite").parquet(feat_dir)
+    spark.range(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "clusters_v1")
+    )  # garbage partial snapshot
+
+    # discovery must see nothing published
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        streaming.latest_clusters(spark, state_dir)
+
+    # replayed micro-batch rebuilds both dirs and commits
+    streaming.make_batch_processor(spark, state_dir)(batch, 0)
+    entries = streaming._read_manifest(state_dir)
+    assert [e["version"] for e in entries] == [1]
+    got = streaming.latest_clusters(spark, state_dir)
+    assert got.count() == 200
+    assert set(got.columns) == {"file_id", "cluster_id"}
