@@ -141,15 +141,6 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
     return j
 
 
-def _jw_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype=np.float64
-    )
-
-
-jw_udf = F.pandas_udf(_jw_batch, DoubleType())
-
-
 def damerau_levenshtein(s1: str, s2: str) -> int:
     """Unrestricted Damerau-Levenshtein distance (matches DuckDB's
     ``damerau_levenshtein``: 'ca'→'abc' = 2, not the OSA 3)."""
