@@ -95,9 +95,14 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     timings["blocking"] = time.monotonic() - t0
 
     t0 = time.monotonic()
+    # persist features: score_pairs broadcasts this table TWICE (left and
+    # right fetch), and AQE builds each broadcast stage independently —
+    # without the cache the Arrow embedding kernel runs twice per run
+    # (measured: the two BroadcastQueryStages never unify into a
+    # ReusedExchange under AQE)
     features = scoring.with_embedding(with_sig).select(
         "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-    )
+    ).persist()
     scored = scoring.score_pairs(pairs, features)
     # persist only the thin projection downstream needs; caching the wide
     # scored table (ids + 6 feature columns × 3M rows) costs more than the

@@ -92,14 +92,25 @@ def _pairs(spark, sf_dir):
     )
 
 
-def _scored(spark, sf_dir):
-    def build():
-        features = scoring.with_embedding(_with_sig(spark, sf_dir)).select(
+def _features(spark, sf_dir):
+    # cached separately: score_pairs broadcasts the feature table twice
+    # (left/right fetch) and AQE builds each broadcast stage independently
+    # — without this cache the embedding kernel runs twice per fill
+    return _cached(
+        spark, sf_dir, "features",
+        lambda: scoring.with_embedding(_with_sig(spark, sf_dir)).select(
             "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-        )
-        return scoring.score_pairs(_pairs(spark, sf_dir), features)
+        ),
+    )
 
-    return _cached(spark, sf_dir, "scored", build)
+
+def _scored(spark, sf_dir):
+    return _cached(
+        spark, sf_dir, "scored",
+        lambda: scoring.score_pairs(
+            _pairs(spark, sf_dir), _features(spark, sf_dir)
+        ),
+    )
 
 
 def _edges(spark, sf_dir):

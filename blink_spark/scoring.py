@@ -305,10 +305,12 @@ def score_pairs(
     if broadcast_features:
         feat = F.broadcast(feat)
     # join the SAME un-aliased feature subtree twice and rename AFTER each
-    # join: both broadcast exchanges canonicalize identically, so Catalyst
-    # reuses one built hash relation (ReusedExchange) — with per-side
-    # aliased projections below the exchange it would build, serialize and
-    # ship the ~payload twice, pure serial time at every scale
+    # join. NOTE (measured round 2): under AQE the two broadcast stages do
+    # NOT unify into a ReusedExchange at runtime — each builds its own
+    # hash relation from the child plan. Callers must therefore persist
+    # the features table (pipeline/bench/er_queries all do) so the
+    # expensive columns (the Arrow embedding kernel) materialize once and
+    # both broadcast builds read the cache.
     feat_cols = feat.columns
     pair_cols = pairs.columns
     fa, fb = feat.alias("__fa"), feat.alias("__fb")
