@@ -289,8 +289,17 @@ def run_full_best_of(sf_dir: str, cpus: int, repeats: int) -> dict:
     """
     import subprocess
 
+    # time-budget guard: don't start another sample if it plausibly won't
+    # finish inside the caller's window (another sample ≈ the last one)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    t0 = time.monotonic()
     samples = []
-    for _ in range(max(1, repeats)):
+    for i in range(max(1, repeats)):
+        if i > 0:
+            elapsed = time.monotonic() - t0
+            last = samples[-1]["value"] + 30  # + JVM startup slack
+            if elapsed + last > budget:
+                break
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
              "--sf-dir", sf_dir, "--cpus", str(cpus)],

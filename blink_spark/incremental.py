@@ -178,8 +178,15 @@ def link_batch(
 
     Feature kernels (tokenize → minhash → embedding) run over
     ``new_source`` only; prior rows are consumed from ``prior.features``.
+    The new batch's features are persisted before linking: the scoring
+    join broadcasts the feature table twice and AQE builds each broadcast
+    independently, so an unpersisted batch would run its kernels twice
+    (the streaming front-end gets this for free by writing features to
+    parquet first).
     """
-    return link_features(prior, batch_features(new_source), tau, block_cap)
+    return link_features(
+        prior, batch_features(new_source).persist(), tau, block_cap
+    )
 
 
 def cluster_representatives(
