@@ -507,7 +507,8 @@ feat AS (
 scored0 AS (
   SELECT p.left_id, p.right_id, p.block_key,
          lf.base AS l_base, rf.base AS r_base,
-         lf.fpath AS l_fpath, rf.fpath AS r_fpath,
+         regexp_replace(lf.fpath, '[^ -~]', '?', 'g') AS l_fpath,
+         regexp_replace(rf.fpath, '[^ -~]', '?', 'g') AS r_fpath,
          lf.content_sha = rf.content_sha AS exact_sha,
          list_dot_product(lf.embedding, rf.embedding) AS cosine,
          CAST(len(list_intersect(lf.sh_hashes, rf.sh_hashes)) AS DOUBLE) AS inter,
@@ -526,9 +527,9 @@ scored AS (
          inter / sqrt(la * lb) AS cosine_sh,
          jaro_winkler_similarity(l_base, r_base) AS jw_path,
          jaro_similarity(l_base, r_base) AS jaro_base,
-         CASE WHEN greatest(len(l_base), len(r_base)) > 0
+         CASE WHEN greatest(strlen(l_base), strlen(r_base)) > 0
               THEN 1.0 - CAST(damerau_levenshtein(l_base, r_base) AS DOUBLE)
-                   / greatest(len(l_base), len(r_base))
+                   / greatest(strlen(l_base), strlen(r_base))
               ELSE 1.0 END AS damerau_base,
          CASE WHEN len(l_base) = 0 AND len(r_base) = 0 THEN 1.0
               WHEN len(l_base) = 0 OR len(r_base) = 0 THEN 0.0

@@ -102,7 +102,7 @@ def sql_embedding(hashes_expr: str, dim: int = EMBED_DIM) -> str:
 # Jaro-Winkler (pandas UDF; matches DuckDB jaro_winkler_similarity)
 # ---------------------------------------------------------------------------
 
-def _jaro(s1: str, s2: str) -> float:
+def _jaro(s1, s2) -> float:  # str or bytes (bytes = DuckDB parity)
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         # both-empty included: DuckDB jaro_winkler_similarity('','') = 0,
@@ -125,11 +125,14 @@ def _jaro(s1: str, s2: str) -> float:
     if m == 0:
         return 0.0
     matches2 = [s2[j] for j in range(len2) if flags2[j]]
-    t = sum(a != b for a, b in zip(matches1, matches2)) / 2
+    # DuckDB FLOORS the half-transposition count (integer division) — an
+    # odd number of mismatched match positions rounds down (fuzz-pinned:
+    # jaro('0Yü','0üY00') = 0.80555…, not 0.76388…)
+    t = sum(a != b for a, b in zip(matches1, matches2)) // 2
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7) -> float:
+def jaro_winkler(s1, s2, p: float = 0.1, boost_threshold: float = 0.7) -> float:
     j = _jaro(s1, s2)
     if j > boost_threshold:
         prefix = 0
@@ -141,7 +144,7 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7)
     return j
 
 
-def damerau_levenshtein(s1: str, s2: str) -> int:
+def damerau_levenshtein(s1, s2) -> int:  # str or bytes
     """Unrestricted Damerau-Levenshtein distance (matches DuckDB's
     ``damerau_levenshtein``: 'ca'→'abc' = 2, not the OSA 3)."""
     n1, n2 = len(s1), len(s2)
@@ -150,7 +153,7 @@ def damerau_levenshtein(s1: str, s2: str) -> int:
     if n2 == 0:
         return n1
     maxdist = n1 + n2
-    da: dict[str, int] = {}
+    da: dict = {}
     d = [[0] * (n2 + 2) for _ in range(n1 + 2)]
     d[0][0] = maxdist
     for i in range(n1 + 1):
@@ -179,9 +182,10 @@ def damerau_levenshtein(s1: str, s2: str) -> int:
     return d[n1 + 1][n2 + 1]
 
 
-def char_jaccard(s1: str, s2: str) -> float:
-    """Character-set Jaccard (matches DuckDB ``jaccard``; the empty-string
-    guard mirrors the CASE the oracle wraps around DuckDB's, which throws)."""
+def char_jaccard(s1, s2) -> float:
+    """Symbol-set Jaccard (matches DuckDB ``jaccard``; the empty-string
+    guard mirrors the CASE the oracle wraps around DuckDB's, which throws).
+    Call with bytes for exact DuckDB parity (it is byte-based)."""
     a, b = set(s1), set(s2)
     if not a and not b:
         return 1.0
@@ -196,7 +200,7 @@ _PANEL_SCHEMA = StructType(
     [
         StructField("jw", DoubleType()),
         StructField("jaro", DoubleType()),
-        StructField("dl", LongType()),
+        StructField("dl_sim", DoubleType()),
         StructField("cj", DoubleType()),
     ]
 )
@@ -206,15 +210,24 @@ def _panel_batch(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     """All per-basename-pair string distances in one Arrow round-trip —
     the NIL predictor's textdistance panel
     (``scripts/prepare_nil_dataset.py:209-253``), evaluated once per
-    DISTINCT pair (see score_pairs)."""
+    DISTINCT pair (see score_pairs).
+
+    Distances are computed over the UTF-8 BYTES of each string: DuckDB's
+    jaro/jaro_winkler/damerau_levenshtein/jaccard are all byte-based, and
+    the oracle defines parity (fuzz-verified over unicode in
+    tests/test_fuzz_parity.py). dl_sim is normalized by the max BYTE
+    length (the oracle mirrors with strlen); both-empty → 1.0."""
     rows = []
     for x, y in zip(a, b):
-        x, y = x or "", y or ""
+        xb = (x or "").encode("utf-8")
+        yb = (y or "").encode("utf-8")
+        dl = damerau_levenshtein(xb, yb)
+        mx = max(len(xb), len(yb))
         rows.append(
-            (jaro_winkler(x, y), _jaro(x, y), damerau_levenshtein(x, y),
-             char_jaccard(x, y))
+            (jaro_winkler(xb, yb), _jaro(xb, yb),
+             1.0 - dl / mx if mx else 1.0, char_jaccard(xb, yb))
         )
-    return pd.DataFrame(rows, columns=["jw", "jaro", "dl", "cj"])
+    return pd.DataFrame(rows, columns=["jw", "jaro", "dl_sim", "cj"])
 
 
 panel_udf = F.pandas_udf(_panel_batch, _PANEL_SCHEMA)
@@ -241,7 +254,16 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def ascii_proj_col(c: Column) -> Column:
+    """Project non-printable-ASCII characters to '?' — the cross-engine
+    Levenshtein contract: Spark's levenshtein counts codepoints while
+    DuckDB's counts UTF-8 bytes, so only pure-ASCII inputs agree. The
+    oracle applies the identical projection."""
+    return F.regexp_replace(c, "[^ -~]", "?")
+
+
 def lev_sim_col(a: Column, b: Column) -> Column:
+    a, b = ascii_proj_col(a), ascii_proj_col(b)
     mx = F.greatest(F.length(a), F.length(b))
     return F.when(mx > 0, 1.0 - F.levenshtein(a, b) / mx).otherwise(F.lit(1.0))
 
@@ -358,7 +380,7 @@ def score_pairs(
             "r_base",
             F.col("__panel.jw").alias("jw_path"),
             F.col("__panel.jaro").alias("jaro_base"),
-            F.col("__panel.dl").alias("__dl"),
+            F.col("__panel.dl_sim").alias("damerau_base"),
             F.col("__panel.cj").alias("charjac_base"),
         )
     )
@@ -372,11 +394,6 @@ def score_pairs(
     if broadcast_features:
         panel_map = F.broadcast(panel_map)
     df = df.join(panel_map, ["l_base", "r_base"], "left")
-    mxb = F.greatest(F.length("l_base"), F.length("r_base"))
-    df = df.withColumn(
-        "damerau_base",
-        F.when(mxb > 0, 1.0 - F.col("__dl") / mxb).otherwise(F.lit(1.0)),
-    )
     df = df.withColumn("lev_path", lev_sim_col(F.col("l_path"), F.col("r_path")))
     df = df.withColumn("exact_sha", F.col("l_content_sha") == F.col("r_content_sha"))
     df = df.withColumn(
