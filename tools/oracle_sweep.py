@@ -67,6 +67,14 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # The ER oracles pin the fixture corpus at sf0.01 (the driver's compare
+    # scale); when sweeping another scale, point them at that scale's
+    # committed fixture so both engines read the same corpus.
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))  # e.g. "sf0.1"
+    oracles = {
+        k: v.replace("source_files_sf0.01.parquet", f"source_files_{sf_tag}.parquet")
+        for k, v in oracles.items()
+    }
     results, bad = {}, []
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
