@@ -419,6 +419,86 @@ def q_review_queue(spark, sf_dir):
     )
 
 
+ROC_TAU_GRID = [i / 20 for i in range(1, 20)]
+HIST_N_BINS = 20
+
+
+def _labeled_scored(spark, sf_dir):
+    """Scored candidate pairs with the gold match label (rep-level)."""
+    s = _scored(spark, sf_dir)
+    gold = _rep_gold(spark, sf_dir)
+    gl = gold.select(
+        F.col("file_id").alias("left_id"), F.col("gold_cluster").alias("g_l")
+    )
+    gr = gold.select(
+        F.col("file_id").alias("right_id"), F.col("gold_cluster").alias("g_r")
+    )
+    return (
+        s.select("left_id", "right_id", "match_p")
+        .join(gl, "left_id")
+        .join(gr, "right_id")
+        .select("match_p", (F.col("g_l") == F.col("g_r")).alias("is_match"))
+    )
+
+
+def q_roc_curve(spark, sf_dir):
+    """Threshold-sweep ROC/PR diagnostic over scored candidate pairs vs
+    gold — §2.5 A10, the score-distribution/ROC plots the reference draws
+    when picking the match threshold (``scripts/feature_ablation_study.py``
+    evaluation figures): per tau in a 19-point grid, the pairwise
+    confusion counts and derived TPR/FPR/precision. One label join, one
+    broadcast grid cross-join, one aggregation."""
+    lbl = _labeled_scored(spark, sf_dir)
+    grid = spark.createDataFrame([(t,) for t in ROC_TAU_GRID], "tau double")
+    pred = F.col("match_p") >= F.col("tau")
+    agg = lbl.crossJoin(F.broadcast(grid)).groupBy("tau").agg(
+        F.sum(F.when(F.col("is_match") & pred, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tp"),
+        F.sum(F.when(~F.col("is_match") & pred, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+        F.sum(F.when(F.col("is_match") & ~pred, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fn"),
+        F.sum(F.when(~F.col("is_match") & ~pred, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tn"),
+    )
+    return agg.select(
+        _r6(F.col("tau"), 6).alias("tau"),
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        "n_tn",
+        _r6(F.col("n_tp") / (F.col("n_tp") + F.col("n_fn")), 6).alias("tpr"),
+        _r6(F.col("n_fp") / (F.col("n_fp") + F.col("n_tn")), 6).alias("fpr"),
+        _r6(
+            F.when(
+                (F.col("n_tp") + F.col("n_fp")) > 0,
+                F.col("n_tp") / (F.col("n_tp") + F.col("n_fp")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("precision"),
+    )
+
+
+def q_score_hist(spark, sf_dir):
+    """Match-probability distribution by gold label (the KDE-analog half
+    of A10): 20 equal-width bins over [0, 1], counts per (bin, label).
+    match_p = 1.0 lands in the top bin."""
+    lbl = _labeled_scored(spark, sf_dir)
+    bin_id = F.least(
+        F.floor(F.col("match_p") * HIST_N_BINS).cast("long"),
+        F.lit(HIST_N_BINS - 1).cast("long"),
+    )
+    return (
+        lbl.withColumn("bin_id", bin_id)
+        .groupBy("bin_id", "is_match")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_blocking_recall(spark, sf_dir):
     """Gold-pair coverage of blocking — the recall@k analog
     (``blink/main_dense.py:536-553``)."""
@@ -712,6 +792,48 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                  PARTITION BY cluster_id ORDER BY n DESC, lang ASC
                ) AS rn FROM lang_counts
              ) WHERE rn = 1""",
+        "er_roc_curve": c
+        + f""", gold AS (SELECT file_id, gold_cluster FROM reps),
+             lblp AS (
+               SELECT s.match_p, gl.gold_cluster = gr.gold_cluster AS is_match
+               FROM scored_p s
+               JOIN gold gl ON s.left_id = gl.file_id
+               JOIN gold gr ON s.right_id = gr.file_id
+             ),
+             tgrid AS (
+               SELECT CAST(x AS DOUBLE) AS tau
+               FROM (VALUES {", ".join(f"({t!r})" for t in ROC_TAU_GRID)}) v(x)
+             )
+             SELECT (round(tau, 6) + 0.0) AS tau, n_tp, n_fp, n_fn, n_tn,
+               (round(CAST(n_tp AS DOUBLE) / (n_tp + n_fn), 6) + 0.0) AS tpr,
+               (round(CAST(n_fp AS DOUBLE) / (n_fp + n_tn), 6) + 0.0) AS fpr,
+               (round(CASE WHEN n_tp + n_fp > 0
+                           THEN CAST(n_tp AS DOUBLE) / (n_tp + n_fp)
+                           ELSE 1.0 END, 6) + 0.0) AS "precision"
+             FROM (
+               SELECT tau,
+                 CAST(sum(CASE WHEN is_match AND match_p >= tau
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+                 CAST(sum(CASE WHEN NOT is_match AND match_p >= tau
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+                 CAST(sum(CASE WHEN is_match AND match_p < tau
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+                 CAST(sum(CASE WHEN NOT is_match AND match_p < tau
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_tn
+               FROM lblp CROSS JOIN tgrid GROUP BY tau
+             )""",
+        "er_score_hist": c
+        + f""", gold AS (SELECT file_id, gold_cluster FROM reps),
+             lblp AS (
+               SELECT s.match_p, gl.gold_cluster = gr.gold_cluster AS is_match
+               FROM scored_p s
+               JOIN gold gl ON s.left_id = gl.file_id
+               JOIN gold gr ON s.right_id = gr.file_id
+             )
+             SELECT least(CAST(floor(match_p * {HIST_N_BINS}) AS BIGINT),
+                          {HIST_N_BINS - 1}) AS bin_id,
+                    is_match, count(*) AS n
+             FROM lblp GROUP BY 1, 2""",
         "er_blocking_recall": c
         + """, pos AS (
                SELECT a.file_id AS left_id, b.file_id AS right_id
@@ -753,4 +875,6 @@ QUERIES = {
     "er_recall_curve": q_recall_curve,
     "er_rank_of_gold": q_rank_of_gold,
     "er_cluster_mode_lang": q_cluster_mode_lang,
+    "er_roc_curve": q_roc_curve,
+    "er_score_hist": q_score_hist,
 }
