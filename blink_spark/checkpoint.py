@@ -8,7 +8,9 @@ parquet tables plus a JSON manifest row per stage:
 
     <dir>/<run_id>/<stage>/           parquet data (atomic: _SUCCESS marker)
     <dir>/<run_id>/manifest.jsonl     one line per completed stage:
-        {run_id, stage, rows, n_partitions, wall_s, finished_utc_ns}
+        {run_id, stage, rows, n_partitions (total in the written table),
+         n_nonempty_partitions, partition_rows{min,max,mean},
+         skew_max_over_mean, wall_s, finished_utc_ns}
 
 Resume = "is the stage's manifest line present and the _SUCCESS marker on
 disk"; if so the stage is read back instead of recomputed — so a killed run
@@ -88,7 +90,10 @@ class StageWriter:
                 "run_id": self.run_id,
                 "stage": stage,
                 "rows": pstats["rows"] or 0,
-                "n_partitions": pstats["parts"],
+                # total partitions of the written table; the skew stats
+                # below see only non-empty ones (groupBy drops empties)
+                "n_partitions": out.rdd.getNumPartitions(),
+                "n_nonempty_partitions": pstats["parts"],
                 "partition_rows": {
                     "min": pstats["p_min"] or 0,
                     "max": pstats["p_max"] or 0,

@@ -118,8 +118,14 @@ def cmd_link_batch(args) -> int:
     import os
 
     os.makedirs(args.state_dir, exist_ok=True)
-    streaming.make_batch_processor(spark, args.state_dir)(batch, batch_id)
+    streaming.make_batch_processor(
+        spark, args.state_dir, tau=args.tau, block_cap=args.block_cap
+    )(batch, batch_id)
     pub = streaming._published(args.state_dir)
+    if pub is None or pub["batch_id"] != batch_id:
+        # empty batches are skipped by the processor — nothing published
+        sys.stderr.write(f"nothing published: batch {args.source} is empty\n")
+        return 2
     clusters = spark.read.parquet(pub["clusters_path"])
     print(
         json.dumps(

@@ -27,13 +27,9 @@ from pyspark.sql.window import Window
 
 from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
 from blink_spark.fixtures import ensure_fixture, sf_from_dir
+from blink_spark.parity import r6 as _r6
 
 ORACLE_SF = 0.01  # the scale the driver's DuckDB harness runs at
-
-
-def _r6(col, scale: int = 6) -> F.Column:
-    """round(col, 6) with the sign of zero canonicalized (-0.0 → 0.0)."""
-    return F.round(col, scale) + F.lit(0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -56,10 +52,28 @@ _stage_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(spark, sf_dir: str, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    # entries from earlier (stopped) applications hold dead references —
+    # drop them so the dict doesn't grow across session restarts
+    for stale in [k for k in _stage_cache if k[0] != app]:
+        del _stage_cache[stale]
+    key = (app, sf_dir, name)
     if key not in _stage_cache:
         _stage_cache[key] = build().persist()
     return _stage_cache[key]
+
+
+def clear_stage_cache() -> None:
+    """Unpersist and drop every cached stage — call between sweeps of
+    different sf_dirs in one long-lived session so each scale's persisted
+    ingest/signature/feature/scored tables don't stay pinned in executor
+    memory simultaneously."""
+    for df in _stage_cache.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # context already stopped
+    _stage_cache.clear()
 
 
 def _ingested(spark, sf_dir):

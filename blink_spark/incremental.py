@@ -231,9 +231,9 @@ def cluster_representatives(
     pick = joined.select("cluster_id", "file_id", "embedding").groupBy(
         "cluster_id"
     ).applyInPandas(_pick, "cluster_id string, file_id string")
-    return joined.join(pick, ["cluster_id", "file_id"], "left_semi").join(
-        clusters, "file_id"
-    )
+    # joined already carries cluster_id; a second join(clusters) would
+    # duplicate the column and break any downstream select("cluster_id")
+    return joined.join(pick, ["cluster_id", "file_id"], "left_semi")
 
 
 def compact_state(state: LinkState, mode: str = "medoid") -> LinkState:

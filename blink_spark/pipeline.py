@@ -175,7 +175,10 @@ def run_calibrated(
     conf = conf or PipelineConfig()
     tables = run_pipeline(spark, source, conf)
     if model is None:
-        model = fit_match_model(tables, source)
+        # gold labels come from tables["ingested"] (same corpus, already
+        # built and persisted) — passing the raw source here would re-run
+        # the whole ingest chain just to extract gold_cluster
+        model = fit_match_model(tables)
     rescored = scoring.apply_combiner(model, tables["scored_pairs"])
     rep_edges = rescored.filter(
         F.col("match_p_ml") >= F.lit(conf.match_tau)

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from blink_spark.parity import r6 as _r6
 
 TOP_K = 5
 QUERY_MOD = 20  # vec_id % QUERY_MOD == 0 rows are the query set
@@ -44,10 +45,6 @@ CENTROIDS: list[list[float]] = [
 
 
 
-def _r6(col, scale: int = 6):
-    """round with the sign of zero canonicalized (-0.0 -> 0.0); see
-    er_queries module docstring for why the oracle hash needs this."""
-    return F.round(col, scale) + F.lit(0.0)
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")

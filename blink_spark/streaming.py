@@ -16,7 +16,12 @@ State layout (append-only; scale-safe at a long-running stream):
     <state_dir>/clusters_v<N>/         assignment snapshot per version
                                        (thin 2-column table)
     <state_dir>/manifest.jsonl         one line per PUBLISHED version:
-        {version, batch_id, feature_dirs, n_new, clusters_path}
+        {version, batch_id, feature_dir, clusters_path}
+                                       (feature_dir is THAT version's new
+                                       dir only; the cumulative index is
+                                       the union over committed lines —
+                                       manifest size stays O(batches),
+                                       not O(batches²))
 
 Publish protocol (crash-safe, at-least-once replay → exactly-once state):
 feature parquet first, clusters snapshot second, manifest line LAST — the
@@ -24,7 +29,9 @@ manifest append is the atomic commit. A crash before the append leaves
 orphan dirs that the replayed micro-batch simply overwrites (all writes
 are deterministic functions of the batch), and discovery never trusts a
 directory that the manifest does not name, so a partial write can never
-wedge the stream. Discovery reads only the manifest (no directory
+wedge the stream: a torn trailing manifest line (killed mid-append) is
+treated as uncommitted and ignored by discovery, then cleanly re-appended
+by the replayed batch. Discovery reads only the manifest (no directory
 listing — object-store safe, the Iceberg snapshot-log idiom).
 
 Because every linkage step is order-independent at the fixpoint (CC over
@@ -60,12 +67,48 @@ def _read_manifest(state_dir: str) -> list[dict]:
     path = _manifest_path(state_dir)
     if not os.path.exists(path):
         return []
-    out = []
     with open(path) as f:
-        for line in f:
-            if line.strip():
-                out.append(json.loads(line))
+        lines = [ln for ln in f if ln.strip()]
+    out = []
+    for i, line in enumerate(lines):
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            if i == len(lines) - 1:
+                # torn trailing append (crash mid-write): the line never
+                # committed — ignore it; the replayed batch re-publishes
+                break
+            raise  # interior corruption is NOT expected — surface it
     return out
+
+
+def _append_manifest(state_dir: str, rec: dict) -> None:
+    """Append one committed line; first truncate any torn trailing
+    fragment (bytes after the last newline) left by a crashed append, so
+    the new line never concatenates onto garbage. Committed lines always
+    end with a newline (json.dumps emits none), so "after the last
+    newline" is exactly the uncommitted residue."""
+    path = _manifest_path(state_dir)
+    with open(path, "a+b"):
+        pass  # ensure existence without clobbering
+    with open(path, "r+b") as f:
+        data = f.read()
+        cut = data.rfind(b"\n") + 1
+        if cut != len(data):
+            f.seek(cut)
+            f.truncate()
+        f.seek(0, os.SEEK_END)
+        f.write((json.dumps(rec) + "\n").encode())
+
+
+def _feature_dirs(entries: list[dict], up_to_version: int | None = None) -> list[str]:
+    """Cumulative feature-index dirs from the per-version manifest lines."""
+    es = sorted(entries, key=lambda e: e["version"])
+    return [
+        e["feature_dir"]
+        for e in es
+        if up_to_version is None or e["version"] <= up_to_version
+    ]
 
 
 def _published(state_dir: str) -> dict | None:
@@ -74,10 +117,22 @@ def _published(state_dir: str) -> dict | None:
     return max(entries, key=lambda e: e["version"]) if entries else None
 
 
-def make_batch_processor(spark: SparkSession, state_dir: str):
+def make_batch_processor(
+    spark: SparkSession,
+    state_dir: str,
+    tau: float | None = None,
+    block_cap: int | None = None,
+):
     """Returns the foreachBatch callback: link batch_df against state,
     publish version = batch_id + 1 via a manifest append (idempotent on
-    replay — a version already in the manifest is skipped)."""
+    replay — a version already in the manifest is skipped). ``tau`` /
+    ``block_cap`` override the linker's match threshold and block cap
+    (defaults: scoring.MATCH_TAU / blocking.DEFAULT_BLOCK_CAP)."""
+    link_kwargs = {}
+    if tau is not None:
+        link_kwargs["tau"] = tau
+    if block_cap is not None:
+        link_kwargs["block_cap"] = block_cap
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -90,11 +145,11 @@ def make_batch_processor(spark: SparkSession, state_dir: str):
 
         if latest is None:
             prior = None
-            feature_dirs: list[str] = []
         else:
-            feature_dirs = list(latest["feature_dirs"])
             prior = incremental.LinkState(
-                features=spark.read.parquet(*feature_dirs),
+                features=spark.read.parquet(
+                    *_feature_dirs(entries, latest["version"])
+                ),
                 clusters=spark.read.parquet(latest["clusters_path"]),
             )
 
@@ -106,19 +161,20 @@ def make_batch_processor(spark: SparkSession, state_dir: str):
         new_feat = spark.read.parquet(feat_dir)
 
         # 2. link; 3. snapshot the (thin) assignment table
-        state = incremental.link_features(prior, new_feat)
+        state = incremental.link_features(prior, new_feat, **link_kwargs)
         clusters_path = os.path.join(state_dir, f"clusters_v{version}")
         state.clusters.write.mode("overwrite").parquet(clusters_path)
 
-        # 4. commit: manifest line LAST — the atomic publish point
+        # 4. commit: manifest line LAST — the atomic publish point. Only
+        #    the NEW feature dir is recorded (cumulative list derives from
+        #    prior lines) so the manifest grows linearly with batches.
         rec = {
             "version": version,
             "batch_id": int(batch_id),
-            "feature_dirs": feature_dirs + [feat_dir],
+            "feature_dir": feat_dir,
             "clusters_path": clusters_path,
         }
-        with open(_manifest_path(state_dir), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        _append_manifest(state_dir, rec)
 
     return process
 
@@ -130,6 +186,8 @@ def stream_link(
     checkpoint_dir: str,
     schema: str = SOURCE_SCHEMA,
     max_files_per_trigger: int | None = 1,
+    tau: float | None = None,
+    block_cap: int | None = None,
 ):
     """Start (availableNow) a streaming linkage over parquet files arriving
     in ``input_dir``. Returns the StreamingQuery; the caller awaits it.
@@ -140,7 +198,9 @@ def stream_link(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(input_dir)
     return (
-        stream.writeStream.foreachBatch(make_batch_processor(spark, state_dir))
+        stream.writeStream.foreachBatch(
+            make_batch_processor(spark, state_dir, tau=tau, block_cap=block_cap)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -157,10 +217,11 @@ def latest_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
 def latest_state(spark: SparkSession, state_dir: str) -> incremental.LinkState:
     """Reload the full LinkState (feature index + assignment) — the entry
     point for resuming batch-mode linking from a streamed state."""
-    pub = _published(state_dir)
-    if pub is None:
+    entries = _read_manifest(state_dir)
+    if not entries:
         raise FileNotFoundError(f"no published state under {state_dir}")
+    pub = max(entries, key=lambda e: e["version"])
     return incremental.LinkState(
-        features=spark.read.parquet(*pub["feature_dirs"]),
+        features=spark.read.parquet(*_feature_dirs(entries, pub["version"])),
         clusters=spark.read.parquet(pub["clusters_path"]),
     )

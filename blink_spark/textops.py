@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from blink_spark import clustering, minhash, scoring
+from blink_spark.parity import r6 as _r6
 
 SIMHASH_BITS = 60  # base_hash is 60-bit (15 hex chars of md5)
 NEAR_DUP_TAU = 0.5
@@ -40,10 +41,6 @@ LANG_ORDER = sorted(LANG_PROFILES)  # deterministic argmax tie-break order
 
 
 
-def _r6(col, scale: int = 6):
-    """round with the sign of zero canonicalized (-0.0 -> 0.0); see
-    er_queries module docstring for why the oracle hash needs this."""
-    return F.round(col, scale) + F.lit(0.0)
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")

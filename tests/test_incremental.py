@@ -149,3 +149,23 @@ def test_links_to_grown_cluster_via_representative(spark):
     assert partition(got) - {frozenset(grown)} == partition(prior) - {
         frozenset(target_members)
     }
+
+
+def test_cluster_representatives_column_contract(spark):
+    """Medoid representatives must carry FEATURE_COLS + cluster_id exactly
+    once; a duplicated cluster_id column makes any downstream
+    select/groupBy on it raise AMBIGUOUS_REFERENCE."""
+    src = spark.read.parquet(ensure_fixture(0.001)).limit(120)
+    s = incremental.link_batch(None, src)
+    reps = incremental.cluster_representatives(
+        s.features, s.clusters, mode="medoid"
+    )
+    assert sorted(reps.columns) == sorted(
+        [*incremental.FEATURE_COLS, "cluster_id"]
+    )
+    # one representative per cluster, addressable by name
+    assert (
+        reps.select("cluster_id").distinct().count()
+        == reps.count()
+        == s.clusters.select("cluster_id").distinct().count()
+    )

@@ -54,9 +54,12 @@ def test_streamed_batches_equal_one_shot(spark, tmp_path):
     # (never a rewritten accumulated copy)
     entries = streaming._read_manifest(state_dir)
     assert [e["version"] for e in entries] == [1, 2, 3]
-    final = entries[-1]
-    assert len(final["feature_dirs"]) == 3
-    sizes = [spark.read.parquet(d).count() for d in final["feature_dirs"]]
+    # each manifest line names ONLY its own new dir (manifest stays
+    # O(batches)); the cumulative index is derived
+    assert all("feature_dirs" not in e for e in entries)
+    dirs = streaming._feature_dirs(entries)
+    assert len(dirs) == 3
+    sizes = [spark.read.parquet(d).count() for d in dirs]
     assert sum(sizes) == src.count() and all(s > 0 for s in sizes)
     # discovery is manifest-based and the full state reloads
     st = streaming.latest_state(spark, state_dir)
@@ -104,3 +107,33 @@ def test_partial_publish_recovers_on_replay(spark, tmp_path):
     got = streaming.latest_clusters(spark, state_dir)
     assert got.count() == 200
     assert set(got.columns) == {"file_id", "cluster_id"}
+
+
+def test_torn_manifest_tail_is_ignored_and_recovered(spark, tmp_path):
+    """A crash mid-append leaves a truncated trailing manifest line; it
+    must read as uncommitted (not wedge discovery) and the replayed batch
+    must commit cleanly over it."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(ensure_fixture(0.001)).iloc[:120]
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    batch = spark.createDataFrame(pdf)
+
+    processor = streaming.make_batch_processor(spark, state_dir)
+    processor(batch, 0)
+    good = streaming._read_manifest(state_dir)
+    assert [e["version"] for e in good] == [1]
+
+    # simulate the torn append of version 2
+    with open(os.path.join(state_dir, "manifest.jsonl"), "a") as f:
+        f.write('{"version": 2, "batch_id": 1, "feature_d')
+    assert streaming._read_manifest(state_dir) == good
+    assert streaming._published(state_dir)["version"] == 1
+
+    # replay of batch 1 publishes v2 after the torn fragment
+    pdf2 = pd.read_parquet(ensure_fixture(0.001)).iloc[120:240]
+    processor(spark.createDataFrame(pdf2), 1)
+    entries = streaming._read_manifest(state_dir)
+    assert [e["version"] for e in entries] == [1, 2]
+    assert streaming.latest_state(spark, state_dir).features.count() == 240
