@@ -4,12 +4,21 @@ row counts, schemas (column-name sets), and a value hash computed from the
 column-name-sorted, row-sorted serialized frame — mirroring the per-round
 CORRECTNESS_r{N}.json gate so regressions surface before the driver runs.
 
-Usage: python tools/oracle_sweep.py [sf_dir] [query ...]
+Usage: python tools/oracle_sweep.py [--iterative-closure] [sf_dir] [query ...]
+
+--iterative-closure replaces the ER oracles' recursive-CTE connected
+components (min-label path enumeration — fine at the driver's sf0.01 compare
+scale, intractable at sf0.1) with a semi-naive min-label propagation loop
+materialized as a DuckDB table: same fixpoint, O(diameter) rounds of
+join+group-by instead of exponential path walks. Validated equivalent to the
+recursive oracle at sf0.01 (both produce identical hashes); use it to sweep
+the clusters-family queries at larger scales.
 """
 import hashlib
 import json
 import math
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,8 +26,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+ITERATIVE_CLOSURE = "--iterative-closure" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
+
+# the recursive walk + clusters CTE pair in blink_spark.er_queries._cte_chain;
+# under --iterative-closure it is swapped for a pre-materialized table
+_WALK_RE = re.compile(
+    r"walk\(node, lbl\) AS \(.*?GROUP BY node\n\)", re.DOTALL
+)
+_CLOSURE_SUB = "clusters AS (\n  SELECT file_id, cluster_id FROM _closure\n)"
+
+
+def materialize_closure(con, me_sql: str, nodes_sql: str, max_rounds: int = 200):
+    """Min-label propagation to fixpoint over the symmetrized match edges."""
+    con.execute("CREATE OR REPLACE TABLE _me AS " + me_sql)
+    con.execute("CREATE OR REPLACE TABLE _ing_ids AS " + nodes_sql)
+    con.execute(
+        """CREATE OR REPLACE TABLE _sym AS
+           SELECT left_id AS src, right_id AS dst FROM _me
+           UNION SELECT right_id, left_id FROM _me"""
+    )
+    con.execute(
+        "CREATE OR REPLACE TABLE _closure AS "
+        "SELECT file_id, file_id AS cluster_id FROM _ing_ids"
+    )
+    for _ in range(max_rounds):
+        con.execute(
+            """CREATE OR REPLACE TABLE _next AS
+               SELECT node AS file_id, min(lbl) AS cluster_id FROM (
+                 SELECT file_id AS node, cluster_id AS lbl FROM _closure
+                 UNION ALL
+                 SELECT s.dst, c.cluster_id
+                 FROM _sym s JOIN _closure c ON c.file_id = s.src
+               ) GROUP BY node"""
+        )
+        changed = con.execute(
+            """SELECT count(*) FROM _next n JOIN _closure c USING (file_id)
+               WHERE n.cluster_id <> c.cluster_id"""
+        ).fetchone()[0]
+        con.execute("CREATE OR REPLACE TABLE _closure AS SELECT * FROM _next")
+        if changed == 0:
+            return
+    raise RuntimeError(f"closure did not converge in {max_rounds} rounds")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -75,6 +126,24 @@ def main():
         k: v.replace("source_files_sf0.01.parquet", f"source_files_{sf_tag}.parquet")
         for k, v in oracles.items()
     }
+    if ITERATIVE_CLOSURE:
+        materialize_closure(
+            con,
+            oracles["er_match_edges"],
+            oracles["er_ingest"].replace(
+                "SELECT file_id, content_sha, lang, path_stem, n_tokens FROM ing",
+                "SELECT file_id FROM ing",
+            ),
+        )
+        n_rewritten = 0
+        for k, v in list(oracles.items()):
+            if _WALK_RE.search(v):
+                oracles[k] = _WALK_RE.sub(_CLOSURE_SUB, v)
+                n_rewritten += 1
+        print(
+            f"iterative closure: {con.execute('SELECT count(*) FROM _closure').fetchone()[0]}"
+            f" nodes, {n_rewritten} oracle chains rewritten", flush=True,
+        )
     results, bad = {}, []
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
