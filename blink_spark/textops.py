@@ -73,9 +73,17 @@ def q_doc_exact_dedup(spark, sf_dir):
     )
 
 
+# GPT-2-style pretokenizer: letter runs / digit runs / punctuation runs
+# (each absorbing one leading space) / residual whitespace runs. ASCII
+# classes + an explicit whitespace class so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte; both use leftmost-first alternation.
+BPE_TOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+"
+
+
 def q_doc_token_stats(spark, sf_dir):
-    """Token counting (whitespace/alnum tokenizer): totals, distincts,
-    type-token ratio, mean token length."""
+    """Token counting (whitespace/alnum tokenizer + BPE-ish regex
+    pretokenizer count): totals, distincts, type-token ratio, mean token
+    length."""
     df = _with_tokens(load_documents(spark, sf_dir))
     n = F.size("tokens")
     total_len = F.aggregate(
@@ -86,6 +94,9 @@ def q_doc_token_stats(spark, sf_dir):
     return df.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         _r6(F.when(n > 0, total_len / n).otherwise(F.lit(0.0)), 6).alias(
@@ -339,9 +350,10 @@ SELECT sha256(text) AS text_sha, min(doc_id) AS rep_doc_id,
        count(*) AS n_docs
 FROM documents GROUP BY 1"""
 
-    sql["doc_token_stats"] = c + """
+    sql["doc_token_stats"] = c + f"""
 SELECT doc_id,
   len(tokens) AS n_tokens,
+  len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
   len(list_distinct(tokens)) AS n_distinct_tokens,
   len(text) AS n_chars,
   (round(CASE WHEN len(tokens) > 0 THEN

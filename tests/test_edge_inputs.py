@@ -73,3 +73,43 @@ def test_incremental_empty_then_rows(spark):
     s2 = incremental.link_batch(s1, b2)
     got = [r["cluster_id"] for r in s2.clusters.collect()]
     assert len(got) == 2 and len(set(got)) == 1  # exact dup joins the cluster
+
+
+def test_bpe_token_count_parity(spark, duck):
+    """The BPE-ish pretokenizer count must agree byte-for-byte between
+    Java regex (Spark) and RE2 (DuckDB) on whitespace/control/unicode
+    edge cases the fixture corpus doesn't cover."""
+    import pyspark.sql.functions as F
+
+    from blink_spark.textops import BPE_TOKEN_RE
+
+    cases = [
+        "hello world",
+        "  x=42;\n\tfoo_bar(a1,b2)",
+        "",
+        "a",
+        "   ",
+        "naïve café ©µ",
+        "tab\tsep\r\nwin",
+        "x\x0by",  # vertical tab: excluded from the explicit \s class on purpose
+        "don't stop",
+        "a1b2",
+        "!!!  ???",
+        " leading",
+        "trailing ",
+        "\f\f\f",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.regexp_count("text", F.lit(BPE_TOKEN_RE))
+        ).collect()
+    ]
+    want = [
+        duck.execute(
+            "SELECT len(regexp_extract_all(?, '" + BPE_TOKEN_RE + "'))", [c]
+        ).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want, list(zip(cases, got, want))
