@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring
+from blink_spark import blocking, clustering, evaluate, ingest, minhash, scoring, strdist
 from blink_spark.fixtures import ensure_fixture, sf_from_dir
 from blink_spark.parity import r6 as _r6
 
@@ -200,6 +200,60 @@ def q_scored_pairs(spark, sf_dir):
         _r6("lev_path", 6).alias("lev_path"),
         "exact_sha",
         _r6("match_p", 6).alias("match_p"),
+    )
+
+
+def _base_pairs(spark, sf_dir):
+    """Distinct proj()-canonicalized basename pairs of the candidate-pair
+    universe — the domain of the string-distance panel (distinct pairs are
+    orders of magnitude fewer than candidate pairs; see score_pairs)."""
+    feat = _features(spark, sf_dir).select(
+        "file_id", scoring.basename_col(F.col("path")).alias("base")
+    )
+    p = _pairs(spark, sf_dir).select("left_id", "right_id")
+    bl, br = F.broadcast(feat).alias("__bl"), F.broadcast(feat).alias("__br")
+    return (
+        p.join(bl, p["left_id"] == F.col("__bl.file_id"))
+        .join(br, p["right_id"] == F.col("__br.file_id"))
+        .select(
+            strdist.proj_col(F.col("__bl.base")).alias("base_a"),
+            strdist.proj_col(F.col("__br.base")).alias("base_b"),
+        )
+        .distinct()
+    )
+
+
+def q_string_panel(spark, sf_dir):
+    """Extended string-distance panel, SQL-expressible half (F1 breadth:
+    the textdistance grid of ``scripts/prepare_nil_dataset.py:209-253``) —
+    Hamming, MLIPNS, bag, Tversky, Monge-Elkan(DL), LCS-substring over
+    distinct basename pairs; every column has a DuckDB mirror."""
+    bp = _base_pairs(spark, sf_dir).withColumn(
+        "__p", strdist.ext_panel_udf(F.col("base_a"), F.col("base_b"))
+    )
+    return bp.select(
+        "base_a",
+        "base_b",
+        *[_r6(F.col(f"__p.{c}"), 6).alias(c) for c in strdist.PY_PANEL],
+    )
+
+
+def q_string_panel_full(spark, sf_dir):
+    """The COMPLETE per-basename-pair grid — the six SQL-expressible
+    distances plus the six alignment-DP/phonetic ones (StrCmp95,
+    Needleman-Wunsch, Gotoh, Smith-Waterman, LCS-subsequence, Editex) and
+    the classic five, all from one Arrow kernel.  The DP half has no
+    tractable plain-SQL form, so this query intentionally ships WITHOUT
+    an oracle entry (driver records the rows-only check); its kernels are
+    instead fuzz-pinned in tests/test_strdist.py, and the SQL-expressible
+    columns are oracle-proven via er_string_panel."""
+    bp = _base_pairs(spark, sf_dir).withColumn(
+        "__p", strdist.full_panel_udf(F.col("base_a"), F.col("base_b"))
+    )
+    return bp.select(
+        "base_a",
+        "base_b",
+        *[_r6(F.col(f"__p.{c}"), 6).alias(c) for c in strdist._FULL_COLS],
     )
 
 
@@ -720,6 +774,20 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                exact_sha,
                (round(match_p, 6) + 0.0) AS match_p
              FROM scored_p""",
+        "er_string_panel": c
+        + f""", bp AS (
+               SELECT DISTINCT {strdist.sql_proj('lf.base')} AS base_a,
+                      {strdist.sql_proj('rf.base')} AS base_b
+               FROM pairs p
+               JOIN feat lf ON p.left_id = lf.file_id
+               JOIN feat rf ON p.right_id = rf.file_id
+             )
+             SELECT base_a, base_b,
+               {", ".join(
+                   f"(round({fn('base_a', 'base_b')}, 6) + 0.0) AS {col}"
+                   for col, fn in strdist.SQL_PANEL.items()
+               )}
+             FROM bp""",
         "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
         "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
         "er_cluster_sizes": c
@@ -878,6 +946,8 @@ QUERIES = {
     "er_candidate_pairs": q_candidate_pairs,
     "er_sha_edges": q_sha_edges,
     "er_scored_pairs": q_scored_pairs,
+    "er_string_panel": q_string_panel,
+    "er_string_panel_full": q_string_panel_full,
     "er_match_edges": q_match_edges,
     "er_clusters": q_clusters,
     "er_cluster_sizes": q_cluster_sizes,
