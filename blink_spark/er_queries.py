@@ -469,6 +469,21 @@ def q_cluster_mode_lang(spark, sf_dir):
     )
 
 
+def q_feature_ablation(spark, sf_dir):
+    """Feature-ablation grid (``scripts/feature_ablation_study.py`` main
+    loop): per named feature family, undersample → split → fit the
+    spark.ml combiner → holdout confusion + P/R/F1.  ML training is not
+    SQL-expressible, so this query ships without an oracle entry (driver
+    rows-only check — 5 deterministic rows); the training hygiene and
+    noise behavior are pinned in tests/test_calibrated.py."""
+    scored = _scored(spark, sf_dir)
+    gold = _ingested(spark, sf_dir).select("file_id", "gold_cluster")
+    labeled = evaluate.labeled_pairs(
+        scored.select("left_id", "right_id", "block_key"), gold
+    ).join(scored, ["left_id", "right_id", "block_key"])
+    return scoring.ablation_study(labeled)
+
+
 def q_review_queue(spark, sf_dir):
     """HITL routing (SURVEY.md §2.10 I3): pairs in the confidence band go
     to a human; outside auto-links/auto-rejects
@@ -959,6 +974,7 @@ QUERIES = {
     "er_recall_curve": q_recall_curve,
     "er_rank_of_gold": q_rank_of_gold,
     "er_cluster_mode_lang": q_cluster_mode_lang,
+    "er_feature_ablation": q_feature_ablation,
     "er_roc_curve": q_roc_curve,
     "er_score_hist": q_score_hist,
 }

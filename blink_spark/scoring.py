@@ -489,19 +489,22 @@ def holdout_metrics(model, holdout: DataFrame, tau: float = MATCH_TAU) -> dict:
     }
 
 
-def fit_combiner(labeled: DataFrame, seed: int = 1234):
+def fit_combiner(labeled: DataFrame, seed: int = 1234, feature_cols=None):
     """Pipeline(StandardScaler, LogisticRegression) on labeled pairs.
 
     Mirrors ``make_pipeline(StandardScaler(), LogisticRegression(
     random_state=1234, max_iter=200))`` at
     ``scripts/feature_ablation_study.py:969-977``.
-    ``labeled`` needs FEATURE_COLS + boolean ``is_match``.
+    ``labeled`` needs ``feature_cols`` (default FEATURE_COLS) + boolean
+    ``is_match``.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="raw_features")
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols or FEATURE_COLS), outputCol="raw_features"
+    )
     scaler = StandardScaler(inputCol="raw_features", outputCol="features",
                             withMean=True, withStd=True)
     lr = LogisticRegression(
@@ -509,6 +512,58 @@ def fit_combiner(labeled: DataFrame, seed: int = 1234):
     )
     train = labeled.withColumn("label", F.col("is_match").cast("double"))
     return Pipeline(stages=[assembler, scaler, lr]).fit(train)
+
+
+ABLATION_GROUPS: dict[str, list[str]] = {
+    "full": FEATURE_COLS,
+    "no_embedding": [c for c in FEATURE_COLS if c != "cosine"],
+    "no_shingle_set": [c for c in FEATURE_COLS if not c.endswith("_sh")],
+    "no_string": ["cosine", "jaccard_sh", "dice_sh", "overlap_sh", "cosine_sh"],
+    "string_only": ["jw_path", "jaro_base", "damerau_base", "charjac_base",
+                    "lev_path"],
+}
+
+
+def ablation_study(
+    labeled: DataFrame,
+    feature_sets: dict[str, list[str]] | None = None,
+    seed: int = 1234,
+    tau: float = MATCH_TAU,
+) -> DataFrame:
+    """Feature-ablation grid of the calibrated combiner — which feature
+    families carry the match signal (the fork's headline analysis,
+    ``scripts/feature_ablation_study.py`` main loop: per feature subset,
+    undersample → split → fit → holdout classification_report).
+
+    The undersample/split is computed ONCE and shared by every subset, so
+    rows are identical across fits and the comparison isolates the
+    feature set (the reference fixes random_state the same way).  Each
+    fit/score is distributed; only the per-subset confusion counts (4
+    rows) come back to the driver, and the result is a tiny summary
+    DataFrame — one row per subset.
+    """
+    sets = feature_sets or ABLATION_GROUPS
+    train, holdout = train_test_split(labeled, seed=seed)
+    train = train.persist()
+    holdout = holdout.persist()
+    rows = []
+    try:
+        for name, cols in sets.items():
+            model = fit_combiner(train, seed=seed, feature_cols=cols)
+            m = holdout_metrics(model, holdout, tau=tau)
+            rows.append((
+                name, len(cols), m["tp"], m["fp"], m["fn"], m["tn"],
+                float(m["precision"]), float(m["recall"]), float(m["f1"]),
+                m["n_holdout"],
+            ))
+    finally:
+        train.unpersist()
+        holdout.unpersist()
+    return labeled.sparkSession.createDataFrame(
+        rows,
+        "feature_set string, n_features long, tp long, fp long, fn long, "
+        "tn long, precision double, recall double, f1 double, n_holdout long",
+    )
 
 
 def apply_combiner(model, scored: DataFrame) -> DataFrame:

@@ -53,6 +53,24 @@ def test_train_test_split_undersamples_and_holds_out(spark):
     assert tr_pos > 0.5 * n_pos  # positives kept (only split removes them)
 
 
+def test_ablation_study_grid(spark):
+    """Feature-ablation grid (``scripts/feature_ablation_study.py`` main
+    loop): one row per feature family, shared undersample/split across
+    fits. On the fixture corpus the path/basename string distances alone
+    carry no match signal (filenames are random shas), while any subset
+    containing shingle/embedding features separates perfectly — the grid
+    must expose exactly that contrast."""
+    labeled = _labeled_scored(spark)
+    grid = {r["feature_set"]: r.asDict()
+            for r in scoring.ablation_study(labeled).collect()}
+    assert set(grid) == set(scoring.ABLATION_GROUPS)
+    ho = {r["n_holdout"] for r in grid.values()}
+    assert len(ho) == 1  # same holdout rows for every subset
+    assert grid["full"]["f1"] == 1.0
+    assert grid["no_string"]["f1"] == 1.0
+    assert grid["string_only"]["f1"] < 0.5, grid["string_only"]
+
+
 def test_calibrated_holdout_under_label_noise(spark):
     """Flip a deterministic ~10% of labels: the combiner trained on noisy
     labels must still generalize (holdout F1 well above the all-positive
