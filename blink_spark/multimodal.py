@@ -3,14 +3,15 @@ video frames) with typed metadata, processed through Arrow-batched
 ``mapInPandas`` — the pattern a training-data pipeline uses to decode,
 feature-extract, resize or frame-sample media at 100 TB scale.
 
-Codecs: ``decode_image`` REALLY decodes the NetPBM family (binary P5
-grayscale / P6 RGB — parseable with zero external libraries; round-trip
-tested against ``encode_ppm``), and raises ``NotImplementedError`` for
-compressed formats (JPEG/PNG), which need pillow/opencv on a real
-deployment — they dispatch from the same entry point, so the Spark-side
-plumbing (schema, batch iteration, per-partition processing, metadata
-extraction from real byte headers) is identical and fully tested
-(tests/test_multimodal.py).
+Codecs — one REAL zero-dependency decoder per modality, each round-trip
+tested against its encoder: ``decode_image`` (NetPBM binary P5 grayscale /
+P6 RGB), ``decode_audio`` (RIFF/WAVE PCM16 mono, chunk-walking), and
+``decode_video`` (raw BMV1 frame stacks). Compressed formats (JPEG/PNG,
+MP3/OGG, MP4/WebM) raise ``NotImplementedError`` with guidance — on a real
+deployment they dispatch to pillow/ffmpeg from the same entry points, so
+the Spark-side plumbing (schema, batch iteration, per-partition
+processing, metadata extraction from real byte headers, 1→many frame
+fan-out) is identical and fully tested (tests/test_multimodal.py).
 
 Synthetic corpus: ``media_table`` generates deterministic payloads whose
 headers follow a tiny TLV layout::
@@ -243,6 +244,217 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     over the opaque BMM1 payloads so the distributed plumbing is testable
     independent of codec availability."""
     return media.mapInPandas(_feature_batches(real_decode), FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL RIFF/WAVE PCM16 codec (zero external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → canonical RIFF/WAVE PCM bytes (fmt + data)."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")     # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits/sample
+    )
+    data = b"data" + len(pcm).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decoder for RIFF/WAVE PCM16 mono — the one audio format
+    decodable with zero external codecs: walks the chunk list (skipping
+    unknown chunks, even-padded per spec), reads ``fmt `` + ``data``.
+    Returns (int16 samples, sample_rate). Compressed audio (MP3/OGG/FLAC)
+    raises: on a real deployment it dispatches to ffmpeg/soundfile from
+    this same entry point — the Spark-side plumbing is identical."""
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"codec for magic {buf[:4]!r} not available in this environment "
+            "(pure-python RIFF/WAVE PCM only; MP3/OGG/FLAC need ffmpeg)"
+        )
+    rate = channels = bits = fmt_code = None
+    pcm = None
+    i = 12
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        body = buf[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            pcm = body
+        i += 8 + size + (size & 1)  # chunks are even-padded
+    if fmt_code is None or pcm is None:
+        raise ValueError("truncated WAVE: missing fmt or data chunk")
+    if fmt_code != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"only PCM16 mono supported (got fmt={fmt_code}, bits={bits}, "
+            f"channels={channels}); other encodings need ffmpeg/soundfile"
+        )
+    return np.frombuffer(pcm, dtype="<i2"), int(rate)
+
+
+def wav_audio(media_id: int, rng: np.random.RandomState) -> bytes:
+    """Deterministic synthetic WAV: seeded sine + noise, varying length
+    and pitch per row so decoded statistics differ smoothly."""
+    rate = int(rng.choice([8000, 16000]))
+    n = int(rng.randint(256, 2049))
+    freq = float(rng.uniform(80.0, 2000.0))
+    t = np.arange(n, dtype=np.float64) / rate
+    wave = 0.6 * np.sin(2 * np.pi * freq * t)
+    wave += 0.05 * rng.standard_normal(n)
+    return encode_wav(np.clip(wave, -1, 1) * 32767, rate)
+
+
+def wav_table(spark: SparkSession, n_rows: int = 80, seed: int = 11) -> DataFrame:
+    """Synthetic media table whose payloads are REAL decodable WAVs."""
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, i % 23, "audio", bytearray(wav_audio(i, rng))) for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _audio_feature(payload: bytes) -> np.ndarray:
+    """decode→embed over genuinely decoded audio: 8 frame-RMS values
+    (time envelope) + zero-crossing rate, global RMS, peak, mean, std,
+    spectral proxy (abs first difference mean), duration, log rate —
+    unit-normalized; the pooled-stats shape an audio encoder head yields."""
+    samples, rate = decode_audio(payload)
+    x = samples.astype(np.float64) / 32768.0
+    if x.size == 0:
+        return np.zeros(FEATURE_DIM)
+    frames = np.array_split(x, 8)
+    f = np.empty(FEATURE_DIM, dtype=np.float64)
+    f[:8] = [np.sqrt((fr * fr).mean()) if fr.size else 0.0 for fr in frames]
+    f[8] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    f[9] = float(np.sqrt((x * x).mean()))
+    f[10] = float(np.abs(x).max())
+    f[11] = float(x.mean())
+    f[12] = float(x.std())
+    f[13] = float(np.abs(np.diff(x)).mean()) if x.size > 1 else 0.0
+    f[14] = x.size / rate
+    f[15] = np.log10(rate)
+    n = np.linalg.norm(f)
+    return f / n if n > 0 else f
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "feature": [_audio_feature(p).tolist() for p in pdf["payload"]],
+            }
+        )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """WAV payload → FEATURE_DIM embedding per row (real decode), same
+    mapInPandas shape as the image path — payloads never leave the
+    executor, only the 16-dim vectors shuffle."""
+    return media.mapInPandas(_audio_feature_batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: raw-frame container + frame sampling (the mapInPandas fan-out op)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"BMV1"
+FRAME_SCHEMA = "media_id long, frame_idx long, feature array<double>"
+
+
+def encode_rawvideo(frames: np.ndarray, fps: int = 10) -> bytes:
+    """uint8 (n, H, W, 3) frame stack → BMV1 bytes: magic, fps, n, w, h
+    (uint32 BE each) + concatenated raw RGB rasters — the decodable
+    zero-dependency stand-in for a real container."""
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError(f"expected (n,H,W,3) uint8, got {frames.shape}")
+    header = (
+        VIDEO_MAGIC
+        + fps.to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+    )
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_video(payload: bytes) -> tuple[np.ndarray, int]:
+    """BMV1 → (uint8 (n,H,W,3) frames, fps). Compressed containers
+    (MP4/WebM) raise — they'd dispatch to ffmpeg from this entry point."""
+    buf = bytes(payload)
+    if buf[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            f"codec for magic {buf[:4]!r} not available in this environment "
+            "(raw BMV1 only; MP4/WebM need ffmpeg)"
+        )
+    fps = int.from_bytes(buf[4:8], "big")
+    n = int.from_bytes(buf[8:12], "big")
+    w = int.from_bytes(buf[12:16], "big")
+    h = int.from_bytes(buf[16:20], "big")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=n * h * w * 3, offset=20)
+    return raster.reshape((n, h, w, 3)), fps
+
+
+def rawvideo(media_id: int, rng: np.random.RandomState) -> bytes:
+    """Deterministic synthetic clip: a brightness ramp over seeded noise,
+    so per-frame statistics change monotonically through the clip."""
+    n = int(rng.randint(4, 17))
+    w = int(rng.randint(8, 33))
+    h = int(rng.randint(8, 33))
+    base = rng.randint(0, 128, size=(h, w, 3))
+    ramp = np.linspace(0, 127, n)[:, None, None, None]
+    return encode_rawvideo(
+        np.clip(base[None, ...] + ramp, 0, 255).astype(np.uint8), fps=10
+    )
+
+
+def video_table(spark: SparkSession, n_rows: int = 40, seed: int = 13) -> DataFrame:
+    """Synthetic media table whose payloads are REAL decodable BMV1 clips."""
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, i % 17, "video", bytearray(rawvideo(i, rng))) for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _frame_sample_batches(stride: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames, _ = decode_video(p)
+                for k in range(0, frames.shape[0], stride):
+                    ids.append(mid)
+                    idxs.append(k)
+                    feats.append(_real_feature(encode_ppm(frames[k])).tolist())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "feature": feats})
+
+    return gen
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling — the 1→many media op: decode each clip executor-side,
+    keep every ``stride``-th frame, emit one (media_id, frame_idx, feature)
+    row per kept frame through the image feature head. The fan-out happens
+    INSIDE mapInPandas, so raw rasters never shuffle; downstream sees only
+    16-dim vectors. At 100 TB this is the shape that keeps video tractable:
+    payload-partition parallelism in, small typed rows out."""
+    return media.mapInPandas(_frame_sample_batches(stride), FRAME_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

@@ -83,3 +83,95 @@ def test_real_decode_rejects_compressed_formats(spark):
     media = multimodal.media_table(spark, n_rows=5)  # BMM1 magic, not NetPBM
     with pytest.raises(Exception, match="codec for magic"):
         multimodal.extract_features(media, real_decode=True).collect()
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    samples = rng.randint(-32768, 32768, size=333).astype(np.int16)
+    out, rate = multimodal.decode_audio(multimodal.encode_wav(samples, 16000))
+    assert rate == 16000
+    assert (out == samples).all()
+    # chunk walking: a LIST chunk (odd size → even-padded) before data
+    wav = multimodal.encode_wav(samples, 8000)
+    injected = (
+        wav[:12]
+        + b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+        + wav[12:]
+    )
+    out2, rate2 = multimodal.decode_audio(injected)
+    assert rate2 == 8000 and (out2 == samples).all()
+    # non-RIFF magic (e.g. an MP3 frame header) must raise with guidance
+    with pytest.raises(NotImplementedError, match="codec for magic"):
+        multimodal.decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+    # non-PCM fmt code must raise, not misdecode
+    bad = bytearray(wav)
+    bad[20:22] = (85).to_bytes(2, "little")  # MP3-in-WAV fmt code
+    with pytest.raises(NotImplementedError, match="only PCM16 mono"):
+        multimodal.decode_audio(bytes(bad))
+
+
+def test_audio_features_real_decode(spark):
+    media = multimodal.wav_table(spark, n_rows=30).repartition(4)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_audio_features(media).collect()
+    }
+    assert len(feats) == 30
+    for v in feats.values():
+        assert len(v) == multimodal.FEATURE_DIM
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    # features discriminate across rows (different pitch/length)
+    assert len({tuple(round(x, 9) for x in v) for v in feats.values()}) == 30
+    feats2 = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_audio_features(
+            multimodal.wav_table(spark, n_rows=30).repartition(11)
+        ).collect()
+    }
+    assert feats == feats2  # deterministic across partitionings
+
+
+def test_video_codec_round_trip():
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, size=(6, 4, 5, 3)).astype(np.uint8)
+    out, fps = multimodal.decode_video(multimodal.encode_rawvideo(frames, fps=24))
+    assert fps == 24
+    assert (out == frames).all()
+    with pytest.raises(NotImplementedError, match="codec for magic"):
+        multimodal.decode_video(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)
+
+
+def test_frame_sampling_fan_out(spark):
+    import numpy as np
+
+    media = multimodal.video_table(spark, n_rows=20).repartition(3)
+    stride = 4
+    sampled = multimodal.sample_frames(media, stride=stride).collect()
+    # expected row count: ceil(n_frames / stride) per clip, computed locally
+    rng = np.random.RandomState(13)
+    expect = {}
+    for i in range(20):
+        frames, _ = multimodal.decode_video(multimodal.rawvideo(i, rng))
+        expect[i] = len(range(0, frames.shape[0], stride))
+    got = {}
+    for r in sampled:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+        assert r["frame_idx"] % stride == 0
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+    assert got == expect
+    # the brightness ramp makes frames within a clip distinct: sampled
+    # frame features must differ between the first and last kept frame
+    by_clip = {}
+    for r in sampled:
+        by_clip.setdefault(r["media_id"], []).append((r["frame_idx"], r["feature"]))
+    n_checked = 0
+    for frames_list in by_clip.values():
+        frames_list.sort()
+        if len(frames_list) >= 2:
+            assert frames_list[0][1] != frames_list[-1][1]
+            n_checked += 1
+    assert n_checked > 0
