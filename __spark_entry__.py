@@ -34,12 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from blink_spark import er_queries, similarity, textops
+    from blink_spark import er_queries, multimodal, similarity, textops
 
     return {
         **er_queries.QUERIES,
         **textops.QUERIES,
         **similarity.QUERIES,
+        # rows-only by design: decode→feature kernels have no SQL form
+        **multimodal.QUERIES,
     }
 
 

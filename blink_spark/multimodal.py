@@ -476,3 +476,45 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.ceil(F.col("width") * scale).cast("long").alias("target_w"),
         F.ceil(F.col("height") * scale).cast("long").alias("target_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries. Decode→feature kernels have no plain-SQL form,
+# so these are rows-only entries by design (the driver records row count +
+# schema; values are pinned by tests/test_multimodal.py determinism tests).
+# The media corpora are synthesized deterministically per the round brief —
+# sf_dir is accepted for signature parity and unused.
+# ---------------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata parsed from real BMM1 byte headers (width/height/
+    magic check), via mapInPandas — payloads never leave the executor."""
+    del sf_dir
+    return extract_metadata(media_table(spark, n_rows=300))
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL NetPBM decode → 16-dim pooled feature per image."""
+    del sf_dir
+    return extract_features(ppm_table(spark, n_rows=120), real_decode=True)
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE PCM16 decode → 16-dim pooled feature per clip."""
+    del sf_dir
+    return extract_audio_features(wav_table(spark, n_rows=80))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMV1 decode → every-4th-frame sample → per-frame feature
+    (the 1→many fan-out inside mapInPandas)."""
+    del sf_dir
+    return sample_frames(video_table(spark, n_rows=40), stride=4)
+
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_image_features": q_media_image_features,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+}

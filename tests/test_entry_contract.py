@@ -15,11 +15,16 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from blink_spark import er_queries, similarity, textops
+from blink_spark import er_queries, multimodal, similarity, textops
 
 SF_DIR = "/root/testdata/sf0.001"
 
-ALL_QUERIES = {**er_queries.QUERIES, **textops.QUERIES, **similarity.QUERIES}
+ALL_QUERIES = {
+    **er_queries.QUERIES,
+    **textops.QUERIES,
+    **similarity.QUERIES,
+    **multimodal.QUERIES,
+}
 
 
 def _norm(v):
