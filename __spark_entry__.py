@@ -34,22 +34,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from blink_spark import er_queries, multimodal, similarity, textops
+    from blink_spark import er_queries, events, multimodal, similarity, textops
 
     return {
         **er_queries.QUERIES,
         **textops.QUERIES,
         **similarity.QUERIES,
+        **events.QUERIES,
         # rows-only by design: decode→feature kernels have no SQL form
         **multimodal.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from blink_spark import er_queries, similarity, textops
+    from blink_spark import er_queries, events, similarity, textops
 
     return {
         **er_queries.oracle_sqls(),
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
+        **events.oracle_sqls(),
     }

@@ -1,0 +1,454 @@
+"""Time-series operators over the ``events`` table: hypertable-style
+windowed rollups (hourly + daily continuous-aggregate reuse), gap-based
+sessionization, and an as-of join — plus Structured Streaming variants
+(watermarked window aggregation and an ``applyInPandasWithState``
+stateful sessionizer).
+
+These are the event/telemetry primitives of a large-scale training-data
+pipeline (the reference's KBP simulation replays a mention *stream* into
+an incremental KB — ``scripts/kbp_simulation.py:316-366`` — these
+queries generalize that stream shape to generic timestamped events).
+
+Timestamp discipline: the testdata parquet stores naive timestamps
+(``isAdjustedToUTC=false``), which Spark reads as ``TIMESTAMP_NTZ``.
+All arithmetic here converts to **epoch microseconds as BIGINT** first
+(``timestampdiff`` against the NTZ epoch literal), because NTZ-to-epoch
+via ``unix_timestamp``/``date_trunc`` silently applies the session
+timezone (measured: ``date_trunc('hour')`` shifts by 5h under an
+America/New_York session) while ``timestampdiff`` and ``F.window`` on
+NTZ are wall-clock pure.  Integer microsecond math is bit-identical
+between Spark and the DuckDB oracle (``epoch_us``) regardless of the
+harness session's timezone.
+
+Scale notes (100 TB):
+- Rollups are plain hash aggregates: map-side partial agg, one shuffle
+  keyed on (bucket, type).  The daily rollup re-aggregates the hourly
+  *partials* (counts/sums/min/max merge; the continuous-aggregate
+  pattern) instead of rescanning raw events.  ``count(DISTINCT
+  user_id)`` is exact for oracle parity; at cluster scale swap it for
+  ``approx_count_distinct`` (HLL merges, single shuffle).
+- Sessionization is a single shuffle on ``user_id`` + one sort within
+  partitions (window lag/cumsum); no self-join, no driver loops.
+- The as-of join uses the union-and-window trick: tag both sides, one
+  shuffle on ``user_id``, ``last(ignorenulls)`` over an ordered running
+  frame.  This is O(n log n) per user and never materializes the
+  O(views x purchases) range-join intermediate a naive ``ts_v <= ts_p``
+  join would.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from blink_spark.parity import r6 as _r6
+
+SESSION_GAP_S = 8 * 3600  # inactivity gap that starts a new session
+SESSION_GAP_US = SESSION_GAP_S * 1_000_000
+DAY_US = 86_400_000_000
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def ts_us_col(colname: str = "ts") -> Column:
+    """Epoch microseconds (BIGINT) from a TIMESTAMP_NTZ column —
+    wall-clock pure (session-timezone independent), exactly
+    ``epoch_us(...)`` on the DuckDB side."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed rollups (hypertable pattern)
+# ---------------------------------------------------------------------------
+
+def _hourly_partials(ev: DataFrame) -> DataFrame:
+    """Un-rounded hourly partial aggregates — the shared base of the
+    hourly query, the daily continuous-aggregate, and the streaming
+    variant. ``F.window`` on NTZ is wall-clock pure (measured)."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_raw"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .withColumn("bucket_us", ts_us_col("w.start"))
+    )
+
+
+def hourly_rollup(ev: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window x event_type: counts, exact distinct
+    users, sum/avg/min/max of value."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("value").alias("sum_raw"),
+            F.avg("value").alias("avg_raw"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            ts_us_col("w.start").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "n_users",
+            _r6(F.col("sum_raw")).alias("sum_value"),
+            _r6(F.col("avg_raw")).alias("avg_value"),
+            _r6(F.col("min_v")).alias("min_value"),
+            _r6(F.col("max_v")).alias("max_value"),
+        )
+    )
+
+
+def daily_rollup(ev: DataFrame) -> DataFrame:
+    """Daily rollup derived from the hourly *partials* (counts/sums/
+    min/max merge) — the continuous-aggregate reuse pattern: at scale
+    the hourly table is materialized once and every coarser resolution
+    aggregates it, never the raw events."""
+    hourly = _hourly_partials(ev)
+    return (
+        hourly.withColumn(
+            "day_us", F.col("bucket_us") - F.col("bucket_us") % F.lit(DAY_US)
+        )
+        .groupBy("day_us", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_hours_active"),
+            _r6(F.sum("sum_raw")).alias("sum_value"),
+            _r6(F.min("min_v")).alias("min_value"),
+            _r6(F.max("max_v")).alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(ev: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Per-user sessions: a gap > ``gap_s`` of inactivity starts a new
+    session.  One shuffle on user_id (window lag + running cumsum), then
+    a session-level aggregate.  (user_id, ts) is unique in the corpus,
+    so ordering by ts_us alone is deterministic."""
+    gap_us = gap_s * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    e = (
+        ev.select("user_id", ts_us_col("ts").alias("ts_us"), "value")
+        .withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(run).cast("long"))
+    )
+    return e.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        _r6((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000.0)).alias(
+            "duration_s"
+        ),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+def asof_latest_view(ev: DataFrame) -> DataFrame:
+    """For each 'purchase' event, the most recent 'view' at ts <= the
+    purchase ts by the same user (-1 / -1.0 sentinels when none).
+
+    Union-and-window formulation: tag views side=0 and purchases
+    side=1, order by (ts_us, side) within user, and take
+    ``last(view_cols, ignorenulls)`` over the running frame — a view at
+    exactly the purchase timestamp sorts first, giving <= semantics.
+    One shuffle, no range-join blowup; the DuckDB oracle cross-checks
+    it with a native ASOF LEFT JOIN."""
+    base = ev.select(
+        "event_id", "user_id", ts_us_col("ts").alias("ts_us"), "event_type"
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.lit(0).alias("side"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("purchase_event_id"),
+        F.lit(1).alias("side"),
+    )
+    u = views.unionByName(purchases, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv_id = F.last("view_event_id", ignorenulls=True).over(w)
+    lv_ts = F.last("view_ts_us", ignorenulls=True).over(w)
+    return (
+        u.withColumn("lv_id", lv_id)
+        .withColumn("lv_ts", lv_ts)
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_event_id",
+            "user_id",
+            F.coalesce(F.col("lv_id"), F.lit(-1)).cast("long").alias(
+                "view_event_id"
+            ),
+            _r6(
+                F.when(
+                    F.col("lv_ts").isNotNull(),
+                    (F.col("ts_us") - F.col("lv_ts")) / F.lit(1_000_000.0),
+                ).otherwise(F.lit(-1.0))
+            ).alias("gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants
+# ---------------------------------------------------------------------------
+
+def read_events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+
+
+def with_event_time(ev: DataFrame) -> DataFrame:
+    """A TIMESTAMP event-time column from the NTZ ``ts`` — watermarks
+    refuse TIMESTAMP_NTZ, and a plain NTZ->TIMESTAMP cast would apply
+    the session timezone.  ``timestamp_micros(epoch_us)`` interprets the
+    wall clock as a UTC instant deterministically in any session."""
+    return ev.withColumn("event_time", F.timestamp_micros(ts_us_col("ts")))
+
+
+def windowed_counts(ev: DataFrame) -> DataFrame:
+    """The batch/stream-shared core of the windowed rollup (the subset
+    of aggregates that is legal in a streaming aggregation)."""
+    return (
+        with_event_time(ev)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_raw"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n_events",
+            _r6(F.col("sum_raw")).alias("sum_value"),
+        )
+    )
+
+
+def windowed_counts_stream(
+    spark: SparkSession, input_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming window aggregation over an events dir —
+    identical output shape to ``windowed_counts`` on the same data, so
+    the two are directly comparable (tests assert equality)."""
+    ev = with_event_time(read_events_stream(spark, input_dir)).withWatermark(
+        "event_time", watermark
+    )
+    return (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_raw"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "event_type",
+            "n_events",
+            _r6(F.col("sum_raw")).alias("sum_value"),
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, session_start_us long, "
+    "session_end_us long, duration_s double, sum_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "last_ts_us long, start_us long, n_events long, sum_value double, "
+    "n_closed long"
+)
+
+
+def _sessionize_state_func(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator for ``applyInPandasWithState``:
+    emits a session row the moment a later event closes it (gap >
+    SESSION_GAP_US); the in-flight session stays in state.  Events are
+    sorted within each micro-batch; batches are assumed time-ordered
+    (the file-source tests feed ordered chunks — a production deployment
+    would pair this with a watermark-driven timeout to also flush idle
+    sessions)."""
+    (user_id,) = key
+    if state.exists:
+        last_ts, start, n, sv, closed = state.get
+    else:
+        last_ts, start, n, sv, closed = None, None, 0, 0.0, 0
+
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts_us")
+        for ts, val in zip(pdf["ts_us"], pdf["value"]):
+            ts = int(ts)
+            val = float(val)
+            if n == 0:
+                start, last_ts, n, sv = ts, ts, 1, val
+            elif ts - last_ts > SESSION_GAP_US:
+                closed += 1
+                out.append(
+                    (
+                        user_id,
+                        closed,
+                        n,
+                        start,
+                        last_ts,
+                        round((last_ts - start) / 1_000_000.0, 6),
+                        round(sv, 6),
+                    )
+                )
+                start, last_ts, n, sv = ts, ts, 1, val
+            else:
+                last_ts, n, sv = ts, n + 1, sv + val
+
+    state.update((last_ts, start, n, sv, closed))
+    cols = [
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+        "duration_s",
+        "sum_value",
+    ]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def sessionize_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Stateful streaming sessionizer (``applyInPandasWithState``):
+    same session definition as the batch ``sessionize``; closed sessions
+    stream out incrementally, the open tail of each user stays in
+    state.  State is one fixed-size tuple per user — O(users), not
+    O(events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, input_dir).select(
+        "user_id", ts_us_col("ts").alias("ts_us"), "value"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_state_func,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def q_evt_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(load_events(spark, sf_dir))
+
+
+def q_evt_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_rollup(load_events(spark, sf_dir))
+
+
+def q_evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_events(spark, sf_dir))
+
+
+def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_latest_view(load_events(spark, sf_dir))
+
+
+QUERIES = {
+    "evt_windowed_rollup": q_evt_windowed_rollup,
+    "evt_daily_rollup": q_evt_daily_rollup,
+    "evt_sessionize": q_evt_sessionize,
+    "evt_asof_join": q_evt_asof_join,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    sql = {}
+    sql["evt_windowed_rollup"] = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) + 0.0 AS sum_value,
+       round(avg(value), 6) + 0.0 AS avg_value,
+       round(min(value), 6) + 0.0 AS min_value,
+       round(max(value), 6) + 0.0 AS max_value
+FROM events GROUP BY 1, 2"""
+
+    sql["evt_daily_rollup"] = f"""
+WITH hourly AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+         event_type, count(*) AS n_events, sum(value) AS sum_raw,
+         min(value) AS min_v, max(value) AS max_v
+  FROM events GROUP BY 1, 2)
+SELECT bucket_us - bucket_us % {DAY_US} AS day_us, event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_hours_active,
+       round(sum(sum_raw), 6) + 0.0 AS sum_value,
+       round(min(min_v), 6) + 0.0 AS min_value,
+       round(max(max_v), 6) + 0.0 AS max_value
+FROM hourly GROUP BY 1, 2"""
+
+    sql["evt_sessionize"] = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+m AS (SELECT *, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > {SESSION_GAP_US}
+        THEN 1 ELSE 0 END AS is_new FROM e),
+s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 6) + 0.0 AS duration_s,
+       round(sum(value), 6) + 0.0 AS sum_value
+FROM s GROUP BY 1, 2"""
+
+    # independent formulation on purpose: DuckDB's native ASOF JOIN
+    # cross-checks the union-and-window implementation.  (user_id, ts)
+    # is unique at every sf, so the ASOF match is deterministic.
+    sql["evt_asof_join"] = """
+WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_event_id, p.user_id AS user_id,
+       coalesce(v.event_id, -1) AS view_event_id,
+       round(CASE WHEN v.event_id IS NULL THEN -1.0
+             ELSE (p.ts_us - v.ts_us) / 1000000.0 END, 6) + 0.0 AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us"""
+    return sql

@@ -15,7 +15,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from blink_spark import er_queries, multimodal, similarity, textops
+from blink_spark import er_queries, events, multimodal, similarity, textops
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -23,6 +23,7 @@ ALL_QUERIES = {
     **er_queries.QUERIES,
     **textops.QUERIES,
     **similarity.QUERIES,
+    **events.QUERIES,
     **multimodal.QUERIES,
 }
 
@@ -47,7 +48,7 @@ def _rowset(cols, rows):
 @pytest.fixture(scope="module")
 def oracle_sqls(duck):
     # mirror the driver harness: testdata tables pre-registered as views
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         duck.execute(
             f"CREATE VIEW IF NOT EXISTS {t} AS "
             f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
@@ -56,6 +57,7 @@ def oracle_sqls(duck):
         **er_queries.oracle_sqls(sf=0.001),
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
+        **events.oracle_sqls(),
     }
 
 

@@ -1,0 +1,207 @@
+"""Event-stream operators: batch/stream parity for the windowed rollup
+and the stateful sessionizer, as-of join edge semantics, and
+timezone-independence of the epoch-microsecond conversion.  (Oracle
+parity for the four batch queries is covered by test_entry_contract.)"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark import events
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, ndigits=6):
+    out = []
+    for r in df.collect():
+        out.append(
+            tuple(
+                round(v, ndigits) if isinstance(v, float) else v for v in r
+            )
+        )
+    return sorted(out)
+
+
+def _write_ordered_chunks(tmp_path, n_chunks=3):
+    """Split the events table into time-ordered parquet chunks with
+    strictly increasing mtimes (the file source processes in mtime
+    order under maxFilesPerTrigger=1)."""
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values("ts")
+    input_dir = str(tmp_path / "evt_in")
+    os.makedirs(input_dir)
+    k = len(pdf) // n_chunks
+    for i in range(n_chunks):
+        lo = i * k
+        hi = len(pdf) if i == n_chunks - 1 else (i + 1) * k
+        p = os.path.join(input_dir, f"chunk{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    return input_dir, pdf
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    input_dir, _ = _write_ordered_chunks(tmp_path)
+    stream_df = events.windowed_counts_stream(spark, input_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("evt_win_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = _rows(spark.table("evt_win_stream"))
+    expected = _rows(events.windowed_counts(spark.read.parquet(input_dir)))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    input_dir, _ = _write_ordered_chunks(tmp_path)
+    stream_df = events.sessionize_stream(spark, input_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("evt_sess_stream")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = _rows(spark.table("evt_sess_stream"))
+
+    # streaming emits exactly the CLOSED sessions: batch result minus
+    # each user's final (still-open) session
+    batch = events.sessionize(spark.read.parquet(input_dir))
+    pdf = batch.toPandas()
+    last_idx = pdf.groupby("user_id")["session_idx"].transform("max")
+    closed = pdf[pdf["session_idx"] < last_idx]
+    expected = sorted(
+        tuple(
+            round(v, 6) if isinstance(v, float) else int(v)
+            for v in row
+        )
+        for row in closed.itertuples(index=False)
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_asof_sentinel_and_tie_semantics(spark):
+    # user 1: purchase before any view -> sentinel; then a view at the
+    # EXACT purchase timestamp -> counts (<= semantics, gap 0); then a
+    # later purchase picks the latest of two earlier views.
+    rows = [
+        (1, 1, "2024-01-01 00:00:10", "purchase", 1.0),
+        (2, 1, "2024-01-01 00:01:00", "view", 1.0),
+        (3, 1, "2024-01-01 00:01:00", "purchase", 1.0),
+        (4, 1, "2024-01-01 00:02:00", "view", 1.0),
+        (5, 1, "2024-01-01 00:03:00", "purchase", 1.0),
+        (6, 2, "2024-01-01 00:00:01", "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, v) for (i, u, ts, t, v) in rows],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F_to_ntz("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    got = {
+        r["purchase_event_id"]: (r["view_event_id"], r["gap_s"])
+        for r in events.asof_latest_view(ev).collect()
+    }
+    assert got[1] == (-1, -1.0)   # no prior view
+    assert got[3] == (2, 0.0)     # same-timestamp view counts
+    assert got[5] == (4, 60.0)    # latest of the two earlier views
+    assert got[6] == (-1, -1.0)   # user with no views at all
+
+
+def F_to_ntz(colname):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp_ntz(F.col(colname), F.lit("yyyy-MM-dd HH:mm:ss"))
+
+
+def test_sessionize_edges(spark):
+    from pyspark.sql import functions as F
+
+    # empty input
+    empty = spark.createDataFrame([], events.EVENTS_SCHEMA)
+    out = events.sessionize(empty)
+    assert out.count() == 0
+    assert out.columns == [
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+        "duration_s",
+        "sum_value",
+    ]
+
+    # one event -> one session of one event, duration 0
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "view", 2.5, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F_to_ntz("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    r = events.sessionize(one).collect()[0]
+    assert (r["user_id"], r["session_idx"], r["n_events"]) == (7, 1, 1)
+    assert r["duration_s"] == 0.0 and r["sum_value"] == 2.5
+
+    # boundary: gap == SESSION_GAP_S does NOT split; gap just over does
+    two = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 08:00:00", 1, "view", 1.0, "{}"),
+            (3, "2024-01-01 16:00:01", 1, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F_to_ntz("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    got = sorted(
+        (r["session_idx"], r["n_events"])
+        for r in events.sessionize(two).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_rollup_timezone_independent(spark):
+    """The epoch-us conversion must not depend on the harness session
+    timezone (the driver builds its own SparkSession, whose timezone we
+    don't control)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = events.hourly_rollup(events.load_events(spark, SF_DIR))
+        first = df.orderBy("bucket_us").first()
+        # 2024-01-01 00:00:00 wall clock == 1704067200000000 epoch us
+        assert first["bucket_us"] == 1_704_067_200_000_000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
