@@ -41,17 +41,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **textops.QUERIES,
         **similarity.QUERIES,
         **events.QUERIES,
-        # rows-only by design: decode→feature kernels have no SQL form
+        # media_metadata is oracled (BLOB header parse); the decode→feature
+        # queries are rows-only by design (real codecs have no SQL form)
         **multimodal.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from blink_spark import er_queries, events, similarity, textops
+    from blink_spark import er_queries, events, multimodal, similarity, textops
 
     return {
         **er_queries.oracle_sqls(),
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
         **events.oracle_sqls(),
+        **multimodal.oracle_sqls(),
     }

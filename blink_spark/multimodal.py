@@ -27,11 +27,15 @@ so metadata extraction parses REAL bytes, not a fixture column.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blink_spark.parity import r6 as _r6
 
 MAGIC = b"BMM1"
 MODALITIES = {0: "image", 1: "audio", 2: "video"}
@@ -63,15 +67,25 @@ def synth_payload(media_id: int, modality: int, rng: np.random.RandomState) -> b
     return header + body.tobytes()
 
 
-def media_table(spark: SparkSession, n_rows: int = 300, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (one binary payload per row)."""
+def _media_rows(n_rows: int = 300, seed: int = 42) -> list[tuple]:
+    """Row tuples for the BMM1 corpus — pure function of (n_rows, seed), so
+    the Spark table and the committed parquet fixture are byte-identical.
+    Row-by-row driver-side synthesis is fixture-only; a real corpus arrives
+    as a table (e.g. parquet of crawled payloads) and never touches the
+    driver."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n_rows):
         modality = int(rng.randint(3))
         rows.append(
-            (i, i % 97, MODALITIES[modality], bytearray(synth_payload(i, modality, rng)))
+            (i, i % 97, MODALITIES[modality], synth_payload(i, modality, rng))
         )
+    return rows
+
+
+def media_table(spark: SparkSession, n_rows: int = 300, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (one binary payload per row)."""
+    rows = [(a, b, c, bytearray(p)) for a, b, c, p in _media_rows(n_rows, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -181,12 +195,14 @@ def ppm_image(media_id: int, rng: np.random.RandomState) -> bytes:
     return encode_ppm(img)
 
 
+def _ppm_rows(n_rows: int = 120, seed: int = 7) -> list[tuple]:
+    rng = np.random.RandomState(seed)
+    return [(i, i % 31, "image", ppm_image(i, rng)) for i in range(n_rows)]
+
+
 def ppm_table(spark: SparkSession, n_rows: int = 120, seed: int = 7) -> DataFrame:
     """Synthetic media table whose payloads are REAL decodable P6 images."""
-    rng = np.random.RandomState(seed)
-    rows = [
-        (i, i % 31, "image", bytearray(ppm_image(i, rng))) for i in range(n_rows)
-    ]
+    rows = [(a, b, c, bytearray(p)) for a, b, c, p in _ppm_rows(n_rows, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -318,12 +334,14 @@ def wav_audio(media_id: int, rng: np.random.RandomState) -> bytes:
     return encode_wav(np.clip(wave, -1, 1) * 32767, rate)
 
 
+def _wav_rows(n_rows: int = 80, seed: int = 11) -> list[tuple]:
+    rng = np.random.RandomState(seed)
+    return [(i, i % 23, "audio", wav_audio(i, rng)) for i in range(n_rows)]
+
+
 def wav_table(spark: SparkSession, n_rows: int = 80, seed: int = 11) -> DataFrame:
     """Synthetic media table whose payloads are REAL decodable WAVs."""
-    rng = np.random.RandomState(seed)
-    rows = [
-        (i, i % 23, "audio", bytearray(wav_audio(i, rng))) for i in range(n_rows)
-    ]
+    rows = [(a, b, c, bytearray(p)) for a, b, c, p in _wav_rows(n_rows, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -423,12 +441,14 @@ def rawvideo(media_id: int, rng: np.random.RandomState) -> bytes:
     )
 
 
+def _video_rows(n_rows: int = 40, seed: int = 13) -> list[tuple]:
+    rng = np.random.RandomState(seed)
+    return [(i, i % 17, "video", rawvideo(i, rng)) for i in range(n_rows)]
+
+
 def video_table(spark: SparkSession, n_rows: int = 40, seed: int = 13) -> DataFrame:
     """Synthetic media table whose payloads are REAL decodable BMV1 clips."""
-    rng = np.random.RandomState(seed)
-    rows = [
-        (i, i % 17, "video", bytearray(rawvideo(i, rng))) for i in range(n_rows)
-    ]
+    rows = [(a, b, c, bytearray(p)) for a, b, c, p in _video_rows(n_rows, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -479,37 +499,93 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-contract queries. Decode→feature kernels have no plain-SQL form,
-# so these are rows-only entries by design (the driver records row count +
-# schema; values are pinned by tests/test_multimodal.py determinism tests).
-# The media corpora are synthesized deterministically per the round brief —
-# sf_dir is accepted for signature parity and unused.
+# Committed parquet fixtures: the four deterministic corpora persisted once
+# (the ensure_fixture pattern, blink_spark/fixtures.py), so the Spark query
+# and the DuckDB oracle read the SAME payload bytes and the header parse is
+# hash-verifiable end to end.
+# ---------------------------------------------------------------------------
+
+_MEDIA_ROW_BUILDERS = {
+    "bmm": _media_rows,
+    "ppm": _ppm_rows,
+    "wav": _wav_rows,
+    "bmv": _video_rows,
+}
+
+
+def media_fixture_path(kind: str, root: str | None = None) -> str:
+    root = root or os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+    return os.path.join(root, f"media_{kind}.parquet")
+
+
+def ensure_media_fixture(kind: str, root: str | None = None) -> str:
+    """Write (once) and return the committed media corpus parquet."""
+    path = media_fixture_path(kind, root)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rows = _MEDIA_ROW_BUILDERS[kind]()
+        pdf = pd.DataFrame(
+            rows, columns=["media_id", "doc_id", "modality", "payload"]
+        )
+        pdf.to_parquet(path, index=False)
+    return path
+
+
+def load_media(spark: SparkSession, kind: str) -> DataFrame:
+    return spark.read.parquet(ensure_media_fixture(kind))
+
+
+def _explode_feature(df: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., feature array<double>) → (keys..., pos, value) scalar rows —
+    the emb_label_centroids shape every downstream harness digests (array
+    columns defeat order-insensitive canonicalization)."""
+    return df.select(
+        *keys, F.posexplode("feature").alias("pos", "value")
+    ).select(
+        *keys, F.col("pos").cast("long").alias("pos"), _r6("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries. All four read the committed parquet fixtures and
+# emit scalar rows only, and all four carry full DuckDB oracles: the codecs'
+# fixture layouts (BMM1/NetPBM/RIFF-WAVE/BMV1) are plain bytes, so the
+# oracle re-decodes them INDEPENDENTLY via BLOB hex slicing + SQL aggregates
+# — no numpy, no shared code path with the Spark kernels.
 # ---------------------------------------------------------------------------
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata parsed from real BMM1 byte headers (width/height/
     magic check), via mapInPandas — payloads never leave the executor."""
     del sf_dir
-    return extract_metadata(media_table(spark, n_rows=300))
+    return extract_metadata(load_media(spark, "bmm"))
 
 
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL NetPBM decode → 16-dim pooled feature per image."""
+    """REAL NetPBM decode → 16-dim pooled feature per image, exploded to
+    (media_id, pos, value) scalar rows."""
     del sf_dir
-    return extract_features(ppm_table(spark, n_rows=120), real_decode=True)
+    return _explode_feature(
+        extract_features(load_media(spark, "ppm"), real_decode=True), "media_id"
+    )
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL RIFF/WAVE PCM16 decode → 16-dim pooled feature per clip."""
+    """REAL RIFF/WAVE PCM16 decode → 16-dim pooled feature per clip,
+    exploded to (media_id, pos, value) scalar rows."""
     del sf_dir
-    return extract_audio_features(wav_table(spark, n_rows=80))
+    return _explode_feature(
+        extract_audio_features(load_media(spark, "wav")), "media_id"
+    )
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMV1 decode → every-4th-frame sample → per-frame feature
-    (the 1→many fan-out inside mapInPandas)."""
+    (the 1→many fan-out inside mapInPandas), exploded to scalar rows."""
     del sf_dir
-    return sample_frames(video_table(spark, n_rows=40), stride=4)
+    return _explode_feature(
+        sample_frames(load_media(spark, "bmv"), stride=4), "media_id", "frame_idx"
+    )
 
 
 QUERIES = {
@@ -518,3 +594,183 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
 }
+
+
+def _hex_be_u32(byte_off: int) -> str:
+    """DuckDB SQL: uint32 big-endian at 0-based byte offset of `payload`."""
+    return f"('0x' || substring(hex(payload), {2 * byte_off + 1}, 8))::BIGINT"
+
+
+def _hexpair(byte_off) -> str:
+    """DuckDB SQL: hex pair of the byte at 0-based offset (expr allowed)."""
+    if isinstance(byte_off, int):
+        return f"substring(hx, {2 * byte_off + 1}, 2)"
+    return f"substring(hx, 2*({byte_off}) + 1, 2)"
+
+
+# DuckDB mirror of _real_feature over a raw RGB raster: 2×2 grid × channel
+# means + 4 gray stats, L2-normalized. `{pix}` must provide
+# (media_id, {extra} w, h, y, x, c, v) — byte-exact decode supplied by the
+# caller (NetPBM for images, BMV1 frame slab for video).
+_RASTER_FEATURE_SQL = """
+cellf AS (
+  SELECT media_id, {extra}
+    (CASE WHEN y < h//2 THEN 0 ELSE 1 END)*6
+      + (CASE WHEN x < w//2 THEN 0 ELSE 1 END)*3 + c AS pos,
+    avg(v::DOUBLE) AS raw
+  FROM pix GROUP BY ALL
+),
+gray AS (
+  SELECT media_id, {extra} y, x, sum(v)::DOUBLE / 3.0 AS g
+  FROM pix GROUP BY ALL
+),
+grayf AS (
+  SELECT media_id, {extra} 12 AS pos, avg(g) AS raw FROM gray GROUP BY ALL
+  UNION ALL SELECT media_id, {extra} 13, sqrt(var_pop(g)) FROM gray GROUP BY ALL
+  UNION ALL SELECT media_id, {extra} 14, min(g) FROM gray GROUP BY ALL
+  UNION ALL SELECT media_id, {extra} 15, max(g) FROM gray GROUP BY ALL
+),
+feats AS (SELECT * FROM cellf UNION ALL SELECT * FROM grayf),
+nrm AS (SELECT media_id, {extra} sqrt(sum(raw*raw)) AS nn FROM feats GROUP BY ALL)
+"""
+
+
+def oracle_sqls() -> dict[str, str]:
+    """DuckDB mirrors over the SAME committed fixtures — independent
+    formulations of each codec (BLOB hex slicing + SQL aggregates vs the
+    Spark kernels' python struct/numpy decode), verified value-exact at
+    6 dp in tests/test_multimodal.py::test_feature_oracles_match."""
+    bmm = ensure_media_fixture("bmm")
+    ppm = ensure_media_fixture("ppm")
+    wav = ensure_media_fixture("wav")
+    bmv = ensure_media_fixture("bmv")
+    sql: dict[str, str] = {}
+
+    sql["media_metadata"] = f"""
+SELECT media_id, modality,
+  CASE WHEN octet_length(payload) >= 13 THEN {_hex_be_u32(5)} END AS width,
+  CASE WHEN octet_length(payload) >= 13 THEN {_hex_be_u32(9)} END AS height,
+  octet_length(payload)::BIGINT AS payload_bytes,
+  substring(hex(payload), 1, 8) = '{MAGIC.hex().upper()}' AS magic_ok
+FROM read_parquet('{bmm}')"""
+
+    # NetPBM P6: ASCII header parsed by regexp over the hex image ("P6\\n"
+    # = 50360A, digit d = 3d, " " = 20, "\\n255\\n" = 0A3235350A), then one
+    # row per raster byte via unnest(range(w*h*3)).
+    raster = _RASTER_FEATURE_SQL.format(extra="")
+    sql["media_image_features"] = f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx FROM read_parquet('{ppm}')),
+hdr AS (
+  SELECT media_id, hx,
+    regexp_extract(hx, '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 1) AS wd,
+    regexp_extract(hx, '^50360A((?:3[0-9])+)20((?:3[0-9])+)0A3235350A', 2) AS hd
+  FROM m
+),
+dims AS (
+  SELECT media_id, hx,
+    array_to_string(list_transform(range(1, length(wd)//2 + 1),
+                                   i -> substring(wd, 2*i, 1)), '')::INT AS w,
+    array_to_string(list_transform(range(1, length(hd)//2 + 1),
+                                   i -> substring(hd, 2*i, 1)), '')::INT AS h,
+    9 + length(wd)//2 + length(hd)//2 AS hlen
+  FROM hdr
+),
+idx AS (SELECT media_id, hx, w, h, hlen, unnest(range(0, w*h*3)) AS k FROM dims),
+pix AS (
+  SELECT media_id, w, h,
+    k // (w*3) AS y, (k % (w*3)) // 3 AS x, k % 3 AS c,
+    ('0x' || {_hexpair("hlen + k")})::INT AS v
+  FROM idx
+),
+{raster}
+SELECT f.media_id, f.pos::BIGINT AS pos,
+  round(CASE WHEN nn > 0 THEN raw / nn ELSE raw END, 6) + 0.0 AS value
+FROM feats f JOIN nrm USING (media_id)"""
+
+    # BMV1: fixed 20-byte header (n/w/h u32 BE at offsets 8/12/16); frame
+    # fi's raster slab starts at 20 + fi*h*w*3; sample every 4th frame.
+    raster_fi = _RASTER_FEATURE_SQL.format(extra="fi, ")
+    sql["media_frame_sample"] = f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx FROM read_parquet('{bmv}')),
+dims AS (
+  SELECT media_id, hx,
+    ('0x' || substring(hx, 17, 8))::BIGINT AS n,
+    ('0x' || substring(hx, 25, 8))::BIGINT AS w,
+    ('0x' || substring(hx, 33, 8))::BIGINT AS h
+  FROM m
+),
+fr AS (SELECT media_id, hx, w, h, unnest(range(0, n, 4)) AS fi FROM dims),
+idx AS (
+  SELECT media_id, hx, w, h, fi, 20 + fi*h*w*3 AS base,
+         unnest(range(0, w*h*3)) AS k
+  FROM fr
+),
+pix AS (
+  SELECT media_id, fi, w, h,
+    k // (w*3) AS y, (k % (w*3)) // 3 AS x, k % 3 AS c,
+    ('0x' || {_hexpair("base + k")})::INT AS v
+  FROM idx
+),
+{raster_fi}
+SELECT f.media_id, f.fi::BIGINT AS frame_idx, f.pos::BIGINT AS pos,
+  round(CASE WHEN nn > 0 THEN raw / nn ELSE raw END, 6) + 0.0 AS value
+FROM feats f JOIN nrm USING (media_id, fi)"""
+
+    # RIFF/WAVE PCM16 mono, canonical chunk layout (fmt at 12, data at 36,
+    # samples at 44): rate u32 LE at 24, int16 LE samples; 8 frame-RMS
+    # buckets follow numpy array_split boundaries (first n%8 parts one
+    # longer), zero-crossing/diff stats via lag windows.
+    sql["media_audio_features"] = f"""
+WITH m AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS nb
+           FROM read_parquet('{wav}')),
+hdr AS (
+  SELECT media_id, hx,
+    ('0x' || {_hexpair(27)} || {_hexpair(26)} || {_hexpair(25)} || {_hexpair(24)})::BIGINT AS rate,
+    (nb - 44) // 2 AS n
+  FROM m
+),
+si AS (SELECT media_id, hx, rate, n, unnest(range(0, n)) AS i FROM hdr),
+samp0 AS (
+  SELECT media_id, rate, n, i,
+    ('0x' || {_hexpair("45 + 2*i")} || {_hexpair("44 + 2*i")})::INT AS raw
+  FROM si
+),
+samp AS (
+  SELECT media_id, rate, n, i,
+    (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) / 32768.0 AS x,
+    n // 8 AS q, n % 8 AS r
+  FROM samp0
+),
+sf AS (
+  SELECT *, CASE WHEN i < r*(q+1) THEN i // (q+1)
+                 ELSE r + (i - r*(q+1)) // q END AS j
+  FROM samp
+),
+framef AS (
+  SELECT media_id, j::INT AS pos, sqrt(avg(x*x)) AS raw FROM sf GROUP BY media_id, j
+),
+lagd AS (
+  SELECT media_id, i, x,
+    lag(x) OVER (PARTITION BY media_id ORDER BY i) AS px,
+    CASE WHEN x < 0 THEN 1 ELSE 0 END AS s,
+    lag(CASE WHEN x < 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY media_id ORDER BY i) AS ps
+  FROM samp
+),
+globalf AS (
+  SELECT media_id, 8 AS pos, avg(abs(s - ps)::DOUBLE) AS raw
+    FROM lagd WHERE i >= 1 GROUP BY media_id
+  UNION ALL SELECT media_id, 9, sqrt(avg(x*x)) FROM samp GROUP BY media_id
+  UNION ALL SELECT media_id, 10, max(abs(x)) FROM samp GROUP BY media_id
+  UNION ALL SELECT media_id, 11, avg(x) FROM samp GROUP BY media_id
+  UNION ALL SELECT media_id, 12, sqrt(var_pop(x)) FROM samp GROUP BY media_id
+  UNION ALL SELECT media_id, 13, avg(abs(x - px)) FROM lagd WHERE i >= 1 GROUP BY media_id
+  UNION ALL SELECT media_id, 14, any_value(n::DOUBLE / rate) FROM samp GROUP BY media_id
+  UNION ALL SELECT media_id, 15, any_value(log10(rate::DOUBLE)) FROM samp GROUP BY media_id
+),
+feats AS (SELECT * FROM framef UNION ALL SELECT * FROM globalf),
+nrm AS (SELECT media_id, sqrt(sum(raw*raw)) AS nn FROM feats GROUP BY media_id)
+SELECT f.media_id, f.pos::BIGINT AS pos,
+  round(CASE WHEN nn > 0 THEN raw / nn ELSE raw END, 6) + 0.0 AS value
+FROM feats f JOIN nrm USING (media_id)"""
+    return sql

@@ -58,6 +58,7 @@ def oracle_sqls(duck):
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
         **events.oracle_sqls(),
+        **multimodal.oracle_sqls(),
     }
 
 

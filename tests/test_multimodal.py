@@ -175,3 +175,49 @@ def test_frame_sampling_fan_out(spark):
             assert frames_list[0][1] != frames_list[-1][1]
             n_checked += 1
     assert n_checked > 0
+
+
+def test_media_fixtures_deterministic(tmp_path):
+    """The committed parquet fixtures are pure functions of the seed: a
+    regeneration into a fresh root produces byte-identical payload sets."""
+    import pandas as pd
+
+    for kind in ["bmm", "ppm", "wav", "bmv"]:
+        committed = pd.read_parquet(multimodal.media_fixture_path(kind))
+        fresh = pd.read_parquet(
+            multimodal.ensure_media_fixture(kind, root=str(tmp_path))
+        )
+        assert list(committed.columns) == list(fresh.columns)
+        assert len(committed) == len(fresh)
+        assert [bytes(p) for p in committed["payload"]] == [
+            bytes(p) for p in fresh["payload"]
+        ]
+
+
+def test_feature_oracles_match(spark, duck):
+    """Every media query hash-matches its DuckDB oracle — the oracle
+    re-decodes the SAME fixture bytes independently (BLOB hex slicing +
+    SQL aggregates; no numpy, no shared decode code)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from tools.oracle_sweep import frame_hash
+
+    oracles = multimodal.oracle_sqls()
+    assert set(oracles) == set(multimodal.QUERIES)
+    for name, q in multimodal.QUERIES.items():
+        sdf = q(spark, "unused").toPandas()
+        odf = duck.execute(oracles[name]).df()
+        assert len(sdf) == len(odf), name
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert frame_hash(sdf) == frame_hash(odf), name
+
+
+def test_exploded_feature_queries_scalar_only(spark):
+    """Driver-canonicalizer contract: no array-typed output columns —
+    every media query emits scalar cells only (the round-2 err fix)."""
+    for name, q in multimodal.QUERIES.items():
+        df = q(spark, "unused")
+        for f in df.schema.fields:
+            assert not f.dataType.typeName().startswith("array"), (
+                f"{name}.{f.name} is array-typed"
+            )

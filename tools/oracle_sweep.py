@@ -85,7 +85,13 @@ def canon(value):
             value = 0.0  # collapse -0.0
         return repr(round(value, 9))
     if isinstance(value, (list, tuple)):
-        return "[" + ",".join(canon(v) for v in value) + "]"
+        # the driver's canonicalizer (pandas sort_values over all columns)
+        # CRASHES on list cells — mirror that strictness so an array-typed
+        # output column fails here first, not in CORRECTNESS_r{N}.json
+        raise TypeError(
+            f"array-typed output cell {value!r}: explode to scalar rows "
+            "(see multimodal._explode_feature)"
+        )
     if isinstance(value, bytes):
         return value.hex()
     if value is None or value is pd.NA or (isinstance(value, float) and pd.isna(value)):
