@@ -34,24 +34,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from blink_spark import er_queries, events, multimodal, similarity, textops
+    from blink_spark import (
+        er_queries, events, multimodal, relational, similarity, textops,
+    )
 
     return {
         **er_queries.QUERIES,
+        **relational.QUERIES,
         **textops.QUERIES,
         **similarity.QUERIES,
         **events.QUERIES,
-        # media_metadata is oracled (BLOB header parse); the decode→feature
-        # queries are rows-only by design (real codecs have no SQL form)
+        # all four media queries carry full DuckDB oracles: the committed
+        # fixture payloads are re-decoded independently via BLOB hex slicing
         **multimodal.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from blink_spark import er_queries, events, multimodal, similarity, textops
+    from blink_spark import (
+        er_queries, events, multimodal, relational, similarity, textops,
+    )
 
     return {
         **er_queries.oracle_sqls(),
+        **relational.oracle_sqls(),
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
         **events.oracle_sqls(),

@@ -1,0 +1,346 @@
+"""Generic relational analytics over the driver's star schema
+(``lineitem/orders/customer/nation/region/part/supplier``) — the plain
+multi-table workload a user of the reference's dict-lookup joins
+(``blink/main_dense.py:125-148``, J6/J7) runs at warehouse scale: a
+pricing-summary rollup, a fact x broadcast-dim join chain, top-N per
+group, anti/semi joins, and a conditional-aggregate share.
+
+Scale notes (100 TB):
+- ``nation``/``region``/``part`` are bona-fide broadcast dims (25 / 5 /
+  2k x sf rows): every query joins them with an explicit
+  ``F.broadcast`` so the fact scan never shuffles on a dim key.
+  ``customer``/``orders`` joins shuffle on their keys — the right plan
+  when both sides are fact-sized (AQE picks the build side at runtime).
+- Filters are literal predicates on scan columns (shipdate/orderdate
+  ranges) → parquet predicate pushdown + row-group pruning; projections
+  are narrow → column pruning. Verified in tests/test_relational.py by
+  asserting PushedFilters reaches the scan.
+- Aggregates are plain hash aggregates (map-side partial → one
+  shuffle). Top-N per group is window ``row_number`` over a single
+  shuffle on the group key — never a self-join.
+
+Oracle-parity discipline: money math runs in DECIMAL on BOTH engines
+(``l_extendedprice`` → DECIMAL(12,4), discount/tax factors →
+DECIMAL(6,4)), so multi-million-row sums are exact integers-in-decimal
+and bit-identical regardless of aggregation order — the float-sum
+associativity hazard never arises. Decimals are cast to DOUBLE only at
+the very end (single IEEE division for averages/shares, then
+``round(x, 6) + 0.0``). Timestamps are TIMESTAMP_NTZ; filters use NTZ
+literals and group keys use ``year()``/``month()``, which are
+wall-clock pure on NTZ in both engines (blink_spark/events.py:12-21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from blink_spark.parity import r6 as _r6
+
+# DECIMAL(12,4) holds max l_extendedprice (~110k) with 4 frac digits;
+# DECIMAL(6,4) holds the 1±x factors. Products stay well under the
+# 38-digit ceiling of both engines: (12,4)x(6,4)x(6,4) → scale 12.
+_MONEY = "decimal(12,4)"
+_FACTOR = "decimal(6,4)"
+
+PRICING_CUTOFF = "1999-12-31 00:00:00"
+REVENUE_REGION = "ASIA"
+REVENUE_YEAR = 1997
+TOP_N = 3
+DORMANT_SINCE = "1999-01-01 00:00:00"
+PRIORITY_LO = "1997-01-01 00:00:00"
+PRIORITY_HI = "1997-04-01 00:00:00"
+PRIORITY_MIN_DISC = 0.05
+PROMO_YEAR = 1997
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ntz(lit: str) -> Column:
+    return F.expr(f"TIMESTAMP_NTZ '{lit}'")
+
+
+def _money(col) -> Column:
+    return F.col(col).cast(_MONEY)
+
+
+def _disc_price() -> Column:
+    return _money("l_extendedprice") * (1 - F.col("l_discount")).cast(_FACTOR)
+
+
+def _dbl(c: Column, alias: str) -> Column:
+    return _r6(c.cast("double"), 6).alias(alias)
+
+
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary rollup (TPC-H Q1 shape): one scan, literal
+    shipdate cutoff pushed to parquet, map-side-combinable hash agg on a
+    2x2-ish key. Averages = exact decimal sum -> one double division."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ntz(PRICING_CUTOFF)
+    )
+    charge = _disc_price() * (1 + F.col("l_tax")).cast(_FACTOR)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_MONEY)).alias("_sq"),
+        F.sum(_money("l_extendedprice")).alias("_sbp"),
+        F.sum(_disc_price()).alias("_sdp"),
+        F.sum(charge).alias("_sc"),
+        F.sum(F.col("l_discount").cast(_FACTOR)).alias("_sd"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        _dbl(F.col("_sq"), "sum_qty"),
+        _dbl(F.col("_sbp"), "sum_base_price"),
+        _dbl(F.col("_sdp"), "sum_disc_price"),
+        _dbl(F.col("_sc"), "sum_charge"),
+        _dbl(F.col("_sq").cast("double") / n, "avg_qty"),
+        _dbl(F.col("_sbp").cast("double") / n, "avg_price"),
+        _dbl(F.col("_sd").cast("double") / n, "avg_disc"),
+        "count_order",
+    )
+
+
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x broadcast-dim join chain (TPC-H Q5 shape): nation⋈region
+    pre-joined and broadcast (the J6/J7 dict-lookup writ large), customer
+    and orders shuffle on their keys, revenue summed in exact decimal."""
+    dim = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == REVENUE_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == REVENUE_YEAR
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _disc_price().alias("_rev")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum("_rev").alias("_r"))
+        .select("n_name", _dbl(F.col("_r"), "revenue"))
+    )
+
+
+def q_sql_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via window row_number (one shuffle on the group
+    key, no self-join): the TOP_N customers by lifetime order value in
+    each nation, ties broken by custkey for determinism."""
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "n_name")
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_money("o_totalprice")).alias("_r"))
+    )
+    joined = cust.join(rev, F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("_r"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_N)
+        .select(
+            "n_name",
+            F.col("rank").cast("long").alias("rank"),
+            "c_custkey",
+            "c_name",
+            _dbl(F.col("_r"), "revenue"),
+        )
+    )
+
+
+def q_sql_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with NO order since DORMANT_SINCE, rolled up
+    per market segment. left_anti shuffles both sides on the key once;
+    no NOT-IN subquery materialization."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ntz(DORMANT_SINCE))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_dormant"))
+    )
+
+
+def q_sql_priority_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join inside an aggregate (TPC-H Q4 shape): orders in a
+    quarter having >=1 deeply-discounted lineitem, counted by priority.
+    left_semi never duplicates the left side, so the count needs no
+    distinct."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(PRIORITY_LO))
+        & (F.col("o_orderdate") < _ntz(PRIORITY_HI))
+    ).select("o_orderkey", "o_orderpriority")
+    disc = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= PRIORITY_MIN_DISC)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(disc, orders["o_orderkey"] == disc["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate share with a broadcast dim (TPC-H Q14
+    shape): monthly % of revenue from PROMO-type parts across one year.
+    part is a genuine broadcast dim (2k x sf rows); the division is one
+    double op on two exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == PROMO_YEAR
+    ).select("l_partkey", F.month("l_shipdate").alias("month"), _disc_price().alias("_rev"))
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.groupBy("month").agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("_rev")).otherwise(
+                F.lit(0).cast("decimal(19,8)")
+            )
+        ).alias("_promo"),
+        F.sum("_rev").alias("_total"),
+    )
+    return agg.select(
+        F.col("month").cast("long").alias("month"),
+        _dbl(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            "promo_share",
+        ),
+    )
+
+
+QUERIES = {
+    "sql_pricing_summary": q_sql_pricing_summary,
+    "sql_revenue_by_nation": q_sql_revenue_by_nation,
+    "sql_top_customers_per_nation": q_sql_top_customers_per_nation,
+    "sql_dormant_customers": q_sql_dormant_customers,
+    "sql_priority_discounted": q_sql_priority_discounted,
+    "sql_promo_share": q_sql_promo_share,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles over the pre-registered star-schema views. Same DECIMAL
+# widths as the Spark side, so every sum is exact and order-independent.
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE = (
+    f"CAST(l_extendedprice AS {_MONEY}) * CAST(1 - l_discount AS {_FACTOR})"
+)
+
+
+def oracle_sqls() -> dict[str, str]:
+    sql: dict[str, str] = {}
+    sql["sql_pricing_summary"] = f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(CAST(l_quantity AS {_MONEY})) AS sq,
+    sum(CAST(l_extendedprice AS {_MONEY})) AS sbp,
+    sum({_DISC_PRICE}) AS sdp,
+    sum({_DISC_PRICE} * CAST(1 + l_tax AS {_FACTOR})) AS sc,
+    sum(CAST(l_discount AS {_FACTOR})) AS sd,
+    count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+  round(sq::DOUBLE, 6) + 0.0 AS sum_qty,
+  round(sbp::DOUBLE, 6) + 0.0 AS sum_base_price,
+  round(sdp::DOUBLE, 6) + 0.0 AS sum_disc_price,
+  round(sc::DOUBLE, 6) + 0.0 AS sum_charge,
+  round(sq::DOUBLE / count_order, 6) + 0.0 AS avg_qty,
+  round(sbp::DOUBLE / count_order, 6) + 0.0 AS avg_price,
+  round(sd::DOUBLE / count_order, 6) + 0.0 AS avg_disc,
+  count_order
+FROM a"""
+
+    sql["sql_revenue_by_nation"] = f"""
+SELECT n.n_name,
+  round(sum({_DISC_PRICE})::DOUBLE, 6) + 0.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{REVENUE_REGION}' AND year(o.o_orderdate) = {REVENUE_YEAR}
+GROUP BY n.n_name"""
+
+    sql["sql_top_customers_per_nation"] = f"""
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS {_MONEY})) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n.n_name, c.c_custkey, c.c_name, rev.r,
+    row_number() OVER (
+      PARTITION BY n.n_name ORDER BY rev.r DESC, c.c_custkey ASC
+    ) AS rank
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN rev ON rev.o_custkey = c.c_custkey
+)
+SELECT n_name, rank, c_custkey, c_name,
+  round(r::DOUBLE, 6) + 0.0 AS revenue
+FROM ranked WHERE rank <= {TOP_N}"""
+
+    sql["sql_dormant_customers"] = f"""
+SELECT c_mktsegment, count(*) AS n_dormant
+FROM customer c
+ANTI JOIN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{DORMANT_SINCE}'
+) o ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment"""
+
+    sql["sql_priority_discounted"] = f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+SEMI JOIN (
+  SELECT l_orderkey FROM lineitem WHERE l_discount >= {PRIORITY_MIN_DISC}
+) l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{PRIORITY_LO}'
+  AND o.o_orderdate < TIMESTAMP '{PRIORITY_HI}'
+GROUP BY o_orderpriority"""
+
+    sql["sql_promo_share"] = f"""
+WITH j AS (
+  SELECT month(l_shipdate) AS month, p.p_type, {_DISC_PRICE} AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l_shipdate) = {PROMO_YEAR}
+),
+a AS (
+  SELECT month,
+    sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(20,8)) END) AS promo,
+    sum(rev) AS total
+  FROM j GROUP BY month
+)
+SELECT CAST(month AS BIGINT) AS month,
+  round(100.0 * promo::DOUBLE / total::DOUBLE, 6) + 0.0 AS promo_share
+FROM a"""
+    return sql

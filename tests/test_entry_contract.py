@@ -15,12 +15,20 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from blink_spark import er_queries, events, multimodal, similarity, textops
+from blink_spark import (
+    er_queries,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
 ALL_QUERIES = {
     **er_queries.QUERIES,
+    **relational.QUERIES,
     **textops.QUERIES,
     **similarity.QUERIES,
     **events.QUERIES,
@@ -48,13 +56,18 @@ def _rowset(cols, rows):
 @pytest.fixture(scope="module")
 def oracle_sqls(duck):
     # mirror the driver harness: testdata tables pre-registered as views
-    for t in ["documents", "embeddings", "events"]:
+    for t in [
+        "documents", "embeddings", "events",
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ]:
         duck.execute(
             f"CREATE VIEW IF NOT EXISTS {t} AS "
             f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     return {
         **er_queries.oracle_sqls(sf=0.001),
+        **relational.oracle_sqls(),
         **textops.oracle_sqls(),
         **similarity.oracle_sqls(),
         **events.oracle_sqls(),

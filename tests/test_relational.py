@@ -1,0 +1,95 @@
+"""Star-schema relational family: plan shape (pushdown, broadcast,
+no-cartesian) and semantics pinned locally; value parity vs DuckDB is
+covered by tests/test_entry_contract.py and the driver sweep."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark import relational
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark):
+    df = relational.q_sql_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    # the shipdate cutoff must reach the parquet scan, not run post-scan only
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # narrow projection: o_orderkey columns etc. must not be read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    df = relational.q_sql_revenue_by_nation(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan       # nation x region dim chain
+    assert "CartesianProduct" not in plan
+    rows = {r["n_name"]: r["revenue"] for r in df.collect()}
+    assert len(rows) == 5                    # the 5 ASIA nations
+    assert all(v > 0 for v in rows.values())
+
+
+def test_top_customers_rank_contract(spark):
+    rows = relational.q_sql_top_customers_per_nation(spark, SF_DIR).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    for grp in by_nation.values():
+        grp.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in grp] == list(range(1, len(grp) + 1))
+        assert len(grp) <= relational.TOP_N
+        # revenue non-increasing with rank
+        revs = [r["revenue"] for r in grp]
+        assert revs == sorted(revs, reverse=True)
+
+
+def test_dormant_customers_is_anti_join(spark):
+    df = relational.q_sql_dormant_customers(spark, SF_DIR)
+    assert "LeftAnti" in _plan(df)
+    total_dormant = sum(r["n_dormant"] for r in df.collect())
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert 0 < total_dormant < n_cust
+
+
+def test_priority_discounted_is_semi_join(spark):
+    df = relational.q_sql_priority_discounted(spark, SF_DIR)
+    assert "LeftSemi" in _plan(df)
+    rows = df.collect()
+    # a semi join never multiplies the left side: per-priority counts must
+    # not exceed the raw order counts in the window
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    raw = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.filter(
+            (F.col("o_orderdate") >= F.expr(f"TIMESTAMP_NTZ '{relational.PRIORITY_LO}'"))
+            & (F.col("o_orderdate") < F.expr(f"TIMESTAMP_NTZ '{relational.PRIORITY_HI}'"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_orders"] <= raw[r["o_orderpriority"]]
+
+
+def test_promo_share_bounds_and_broadcast(spark):
+    df = relational.q_sql_promo_share(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)   # part is a broadcast dim
+    rows = df.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert 0.0 <= r["promo_share"] <= 100.0
