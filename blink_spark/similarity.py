@@ -162,6 +162,12 @@ def q_emb_ann_recall(spark, sf_dir):
     candidate order is also above it in the exact order). Returns one row
     per nprobe: (nprobe, recall, scan_frac)."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
+    return ann_recall(spark, emb, queries)
+
+
+def ann_recall(spark, emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """Frame-parametrized IVF recall sweep (see q_emb_ann_recall); lets
+    tests run the same measurement on a clustered corpus fixture."""
     cells = _cell_ranks(emb).filter(F.col("cell_rank") == 1).select("vec_id", "cell")
     qranks = _cell_ranks(
         queries.select(F.col("query_id"), F.col("q").alias("v")), "query_id"
@@ -205,20 +211,133 @@ def q_emb_ann_recall(spark, sf_dir):
     )
 
 
+def _bucket_expr(vcol) -> F.Column:
+    """16 hyperplane sign bits → bucket id (bit j set iff v·plane_j > 0)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(PLANES):
+        d = _dot(vcol, F.array(*[F.lit(p) for p in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+# banded hyperplane LSH: the 16-bit signature split into N_BANDS bands of
+# BAND_BITS bits — candidate iff ANY band matches (the minhash-LSH banding
+# trick applied to cosine sketches; ``blink/indexer/faiss_indexer.py:71-141``
+# HNSW-analog retrieval path, re-expressed as a key-equality join Spark can
+# shuffle on).
+N_BANDS = 4
+BAND_BITS = 4
+_BAND_MASK = (1 << BAND_BITS) - 1
+
+
+def _band_keys(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_val) — one row per band of the vector's bucket."""
+    bucket = _bucket_expr(F.col("v"))
+    bands = F.array(*[
+        F.shiftright(bucket, BAND_BITS * j).bitwiseAND(F.lit(_BAND_MASK))
+        for j in range(N_BANDS)
+    ])
+    return df.select(F.col(id_col), F.posexplode(bands).alias("band_id", "band_val"))
+
+
 def q_emb_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH: 16 sign bits → bucket id (+ per-bucket size).
-    The bucket-join over these keys is the sublinear ANN path; bucket
-    population is the skew census for it."""
+    The banded join over these signatures (emb_lsh_topk) is the retrieval
+    path; bucket population is the skew census for it."""
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(PLANES):
-        d = _dot(F.col("v"), F.array(*[F.lit(p) for p in plane]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    df = emb.select("vec_id", bucket.alias("bucket"))
+    df = emb.select("vec_id", _bucket_expr(F.col("v")).alias("bucket"))
     sizes = df.groupBy("bucket").agg(F.count("*").cast("long").alias("bucket_n"))
     return df.join(sizes, "bucket").select("vec_id", "bucket", "bucket_n")
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH retrieval: band-key equality join → distinct
+    candidate pairs → exact-cosine rerank → top-k. The join shuffles on
+    (band_id, band_val) — at 100 TB each executor owns a slice of the
+    band space and never sees the full corpus; reranking touches only
+    banded collisions. Queries with no collision simply return fewer
+    rows (the honest LSH failure mode; emb_lsh_recall quantifies it)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return lsh_topk(emb, queries)
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    cand = (
+        _band_keys(queries.select("query_id", F.col("q").alias("v")), "query_id")
+        .join(_band_keys(emb, "vec_id"), ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    cos = _dot(F.col("q"), F.col("v")) / (_norm(F.col("q")) * _norm(F.col("v")))
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(queries, "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            _r6("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def q_emb_lsh_recall(spark, sf_dir):
+    """Recall + scan fraction of the banded-LSH retrieval vs the exact
+    top-k baseline (one row): an exact neighbor is retrieved iff any of
+    its bands collides with the query's (once a candidate, it survives
+    the exact rerank for the same reason as the IVF curve)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return lsh_recall(spark, emb, queries)
+
+
+def lsh_recall(spark, emb: DataFrame, queries: DataFrame) -> DataFrame:
+    qk = _band_keys(queries.select("query_id", F.col("q").alias("v")), "query_id")
+    ck = _band_keys(emb, "vec_id")
+
+    exact = _exact_topk(emb, queries).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(
+            qk.join(
+                ck.withColumnRenamed("vec_id", "neighbor_id"),
+                ["band_id", "band_val"],
+            ).select("query_id", "neighbor_id").distinct(),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+    )
+    n_exact = exact.count()
+    n_hit = hits.count()
+
+    scanned = (
+        qk.join(ck, ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.count("*").alias("scanned"))
+    )
+    n_total = emb.count()
+    n_queries = queries.count()
+    total_scanned = scanned.agg(F.sum("scanned")).collect()[0][0] or 0
+    # round via Spark SQL (HALF_UP, matching DuckDB), not python round
+    return spark.createDataFrame(
+        [(N_BANDS, BAND_BITS, n_hit / n_exact, total_scanned / (n_queries * n_total))],
+        "n_bands long, band_bits long, recall double, scan_frac double",
+    ).select(
+        "n_bands",
+        "band_bits",
+        _r6("recall", 6).alias("recall"),
+        _r6("scan_frac", 6).alias("scan_frac"),
+    )
 
 
 def q_emb_label_centroids(spark, sf_dir):
@@ -393,6 +512,62 @@ SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
        (round(scanf.scan_frac, 6) + 0.0) AS scan_frac
 FROM rec r JOIN scanf USING (nprobe)"""
 
+    lsh_cte = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, ({bucket}) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+ck AS (
+  SELECT vec_id, j, (bucket >> (4*j)) & 15 AS bv
+  FROM b, range(0, {N_BANDS}) t(j)
+),
+qk AS (
+  SELECT vec_id AS query_id, j, bv FROM ck WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT qk.query_id, ck.vec_id AS neighbor_id
+  FROM qk JOIN ck ON qk.j = ck.j AND qk.bv = ck.bv
+  WHERE ck.vec_id <> qk.query_id
+)"""
+
+    sql["emb_lsh_topk"] = lsh_cte + f""",
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM cand JOIN q USING (query_id) JOIN e ON e.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, rank, neighbor_id, (round(cosine, 6) + 0.0) AS cosine
+FROM r WHERE rank <= {TOP_K}"""
+
+    sql["emb_lsh_recall"] = lsh_cte + f""",
+p0 AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rank FROM p0
+  ) WHERE rank <= {TOP_K}
+),
+hit AS (SELECT * FROM exact SEMI JOIN cand USING (query_id, neighbor_id))
+SELECT {N_BANDS}::BIGINT AS n_bands, {BAND_BITS}::BIGINT AS band_bits,
+  round((SELECT count(*) FROM hit)::DOUBLE
+        / (SELECT count(*) FROM exact), 6) + 0.0 AS recall,
+  round((SELECT count(*) FROM cand)::DOUBLE
+        / ((SELECT count(*) FROM q) * (SELECT count(*) FROM e)), 6) + 0.0
+    AS scan_frac"""
+
     sql["emb_label_centroids"] = """
 SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
        (round(avg(CAST(embedding[i] AS DOUBLE)), 6) + 0.0) AS mean
@@ -420,6 +595,8 @@ GROUP BY c.label"""
 QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_lsh_topk": q_emb_lsh_topk,
+    "emb_lsh_recall": q_emb_lsh_recall,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ann_recall": q_emb_ann_recall,
     "emb_label_centroids": q_emb_label_centroids,
