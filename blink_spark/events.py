@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -296,77 +297,144 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
-def _sessionize_state_func(
-    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
-) -> Iterator[pd.DataFrame]:
-    """Per-user session accumulator for ``applyInPandasWithState``:
-    emits a session row the moment a later event closes it (gap >
-    SESSION_GAP_US); the in-flight session stays in state.  Events are
-    sorted within each micro-batch; batches are assumed time-ordered
-    (the file-source tests feed ordered chunks — a production deployment
-    would pair this with a watermark-driven timeout to also flush idle
-    sessions)."""
-    (user_id,) = key
-    if state.exists:
-        last_ts, start, n, sv, closed = state.get
-    else:
-        last_ts, start, n, sv, closed = None, None, 0, 0.0, 0
+def _make_sessionize_state_func(flush_idle: bool):
+    """Build the per-user session accumulator for
+    ``applyInPandasWithState``: emits a session row the moment a later
+    event closes it (gap > SESSION_GAP_US); the in-flight session stays
+    in state.  With ``flush_idle`` the function also arms an event-time
+    timeout at last_ts + gap, so a session idle past the watermark is
+    flushed without waiting for the user's next event (and the n_closed
+    counter survives the flush — session_idx stays continuous).  Without
+    it, batches are assumed time-ordered and open tails are held forever
+    (fine for the file-source tests; anything long-running should pass
+    flush_idle=True)."""
 
-    out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts_us")
-        for ts, val in zip(pdf["ts_us"], pdf["value"]):
-            ts = int(ts)
-            val = float(val)
-            if n == 0:
-                start, last_ts, n, sv = ts, ts, 1, val
-            elif ts - last_ts > SESSION_GAP_US:
+    def _sessionize_state_func(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, start, n, sv, closed = state.get
+        else:
+            last_ts, start, n, sv, closed = None, None, 0, 0.0, 0
+
+        def _row(n_, start_, end_, sv_):
+            return (
+                user_id,
+                closed,
+                int(n_),
+                int(start_),
+                int(end_),
+                round((int(end_) - int(start_)) / 1_000_000.0, 6),
+                round(float(sv_), 6),
+            )
+
+        out = []
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if frames:
+            # vectorized intra-batch path: gap mask -> cumsum segment ids ->
+            # reduceat aggregates; only the cross-batch carry tuple is scalar
+            # Python (it has to be — it lives in the state store)
+            pdf = pd.concat(frames, ignore_index=True).sort_values("ts_us")
+            ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+            val = pdf["value"].to_numpy(dtype=np.float64)
+            prev = np.empty_like(ts)
+            prev[1:] = ts[:-1]
+            # event 0's "previous event" is the carried open tail; with no
+            # carry, force a session boundary at the batch head
+            prev[0] = last_ts if n else ts[0] - SESSION_GAP_US - 1
+            seg = np.cumsum((ts - prev) > SESSION_GAP_US)
+            heads = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+            seg_n = np.diff(np.r_[heads, len(ts)])
+            seg_sum = np.add.reduceat(val, heads)
+            seg_start = ts[heads]
+            seg_end = ts[np.r_[heads[1:] - 1, len(ts) - 1]]
+            if n and seg[0] == 0:
+                # batch head continues the carried session
+                seg_n[0] += n
+                seg_sum[0] += sv
+                seg_start[0] = start
+            elif n:
+                # batch head opens a new session: the carry closes first
                 closed += 1
-                out.append(
-                    (
-                        user_id,
-                        closed,
-                        n,
-                        start,
-                        last_ts,
-                        round((last_ts - start) / 1_000_000.0, 6),
-                        round(sv, 6),
-                    )
+                out.append(_row(n, start, last_ts, sv))
+            # every segment but the open tail is closed by a later event
+            for i in range(len(heads) - 1):
+                closed += 1
+                out.append(_row(seg_n[i], seg_start[i], seg_end[i], seg_sum[i]))
+            last_ts, start = int(seg_end[-1]), int(seg_start[-1])
+            n, sv = int(seg_n[-1]), float(seg_sum[-1])
+        elif flush_idle and state.hasTimedOut and n:
+            # idle past the watermark: flush the open tail as a closed
+            # session; keep the state row (n=0) so n_closed — and with it
+            # session_idx continuity — survives a later revival
+            closed += 1
+            out.append(_row(n, start, last_ts, sv))
+            n, sv = 0, 0.0
+
+        state.update((last_ts, start, n, sv, closed))
+        if flush_idle and n:
+            # arm the flush for SESSION_GAP after the open tail's last
+            # event; clamp above the current watermark (required by the
+            # state API when a straggler batch arrives behind it)
+            state.setTimeoutTimestamp(
+                max(
+                    last_ts // 1000 + SESSION_GAP_US // 1000,
+                    state.getCurrentWatermarkMs() + 1,
                 )
-                start, last_ts, n, sv = ts, ts, 1, val
-            else:
-                last_ts, n, sv = ts, n + 1, sv + val
+            )
+        cols = [
+            "user_id",
+            "session_idx",
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+            "duration_s",
+            "sum_value",
+        ]
+        yield pd.DataFrame(out, columns=cols)
 
-    state.update((last_ts, start, n, sv, closed))
-    cols = [
-        "user_id",
-        "session_idx",
-        "n_events",
-        "session_start_us",
-        "session_end_us",
-        "duration_s",
-        "sum_value",
-    ]
-    yield pd.DataFrame(out, columns=cols)
+    return _sessionize_state_func
 
 
-def sessionize_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+# default (no-timeout) variant: module-level so Spark pickles a stable
+# reference and unit tests can drive it directly
+_sessionize_state_func = _make_sessionize_state_func(False)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    flush_idle: bool = False,
+    watermark: str = "30 minutes",
+) -> DataFrame:
     """Stateful streaming sessionizer (``applyInPandasWithState``):
     same session definition as the batch ``sessionize``; closed sessions
     stream out incrementally, the open tail of each user stays in
     state.  State is one fixed-size tuple per user — O(users), not
-    O(events)."""
+    O(events).  With ``flush_idle`` the input is watermarked and open
+    sessions idle past SESSION_GAP are flushed by an event-time timeout
+    instead of waiting (possibly forever) for the user's next event."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = read_events_stream(spark, input_dir).select(
-        "user_id", ts_us_col("ts").alias("ts_us"), "value"
-    )
+    base = read_events_stream(spark, input_dir)
+    ev = base.select("user_id", ts_us_col("ts").alias("ts_us"), "value")
+    timeout = GroupStateTimeout.NoTimeout
+    if flush_idle:
+        ev = (
+            with_event_time(base)
+            .select(
+                "user_id", ts_us_col("ts").alias("ts_us"), "value", "event_time"
+            )
+            .withWatermark("event_time", watermark)
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
     return ev.groupBy("user_id").applyInPandasWithState(
-        _sessionize_state_func,
+        _make_sessionize_state_func(flush_idle),
         _SESSION_OUT_SCHEMA,
         _SESSION_STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

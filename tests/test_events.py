@@ -98,6 +98,93 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_sessionize_stream_flush_idle_times_out_open_sessions(spark, tmp_path):
+    """With flush_idle, sessions idle past the watermark are flushed by the
+    event-time timeout.  Every emitted row must still be an exact row of the
+    batch result (same idx/bounds/sums — the timeout changes WHEN a session
+    is emitted, never WHAT), and the set must cover at least all sessions a
+    later event closes."""
+    input_dir, _ = _write_ordered_chunks(tmp_path)
+    stream_df = events.sessionize_stream(
+        spark, input_dir, flush_idle=True, watermark="0 seconds"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("evt_sess_flush")
+        .outputMode("update")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = set(_rows(spark.table("evt_sess_flush")))
+    pdf = events.sessionize(spark.read.parquet(input_dir)).toPandas()
+    batch_rows = {
+        tuple(round(v, 6) if isinstance(v, float) else int(v) for v in row)
+        for row in pdf.itertuples(index=False)
+    }
+    last_idx = pdf.groupby("user_id")["session_idx"].transform("max")
+    closed_by_event = {
+        tuple(round(v, 6) if isinstance(v, float) else int(v) for v in row)
+        for row in pdf[pdf["session_idx"] < last_idx].itertuples(index=False)
+    }
+    assert got <= batch_rows
+    assert got >= closed_by_event
+    assert len(got) > len(closed_by_event)  # the timeout actually fired
+
+
+class _FakeState:
+    """Minimal stand-in for the GroupState handle so the vectorized state
+    function can be pinned branch-by-branch without a streaming query."""
+
+    def __init__(self, tup=None):
+        self._tup = tup
+
+    @property
+    def exists(self):
+        return self._tup is not None
+
+    @property
+    def get(self):
+        return self._tup
+
+    def update(self, tup):
+        self._tup = tup
+
+
+def _run_batch(state, rows):
+    pdf = pd.DataFrame(rows, columns=["ts_us", "value"])
+    (out,) = list(events._sessionize_state_func((7,), iter([pdf]), state))
+    return [tuple(r) for r in out.itertuples(index=False)]
+
+
+def test_sessionize_state_func_carry_branches():
+    gap = events.SESSION_GAP_US
+
+    # batch 1: two sessions; the second stays open in state
+    st = _FakeState()
+    out = _run_batch(st, [(0, 1.0), (10, 2.0), (gap + 20, 4.0)])
+    assert out == [(7, 1, 2, 0, 10, round(10 / 1e6, 6), 3.0)]
+    assert st.get == (gap + 20, gap + 20, 1, 4.0, 1)
+
+    # batch 2 continues the carry (small gap) then closes it mid-batch
+    out = _run_batch(st, [(gap + 30, 1.0), (3 * gap, 8.0)])
+    assert out == [(7, 2, 2, gap + 20, gap + 30, round(10 / 1e6, 6), 5.0)]
+    assert st.get == (3 * gap, 3 * gap, 1, 8.0, 2)
+
+    # batch 3 opens with a big gap: the carry closes as-is first
+    out = _run_batch(st, [(5 * gap, 16.0)])
+    assert out == [(7, 3, 1, 3 * gap, 3 * gap, 0.0, 8.0)]
+    assert st.get == (5 * gap, 5 * gap, 1, 16.0, 3)
+
+    # empty batch: state untouched, nothing emitted
+    (out,) = list(events._sessionize_state_func((7,), iter([]), st))
+    assert len(out) == 0
+    assert st.get == (5 * gap, 5 * gap, 1, 16.0, 3)
+
+
 def test_asof_sentinel_and_tie_semantics(spark):
     # user 1: purchase before any view -> sentinel; then a view at the
     # EXACT purchase timestamp -> counts (<= semantics, gap 0); then a
