@@ -206,18 +206,18 @@ def q_scored_pairs(spark, sf_dir):
 def _base_pairs(spark, sf_dir):
     """Distinct proj()-canonicalized basename pairs of the candidate-pair
     universe — the domain of the string-distance panel (distinct pairs are
-    orders of magnitude fewer than candidate pairs; see score_pairs)."""
+    orders of magnitude fewer than candidate pairs; see score_pairs).
+    The feature fetch goes through scoring.pair_feature_join — the same
+    broadcast gate as the scored hot path, not a bare F.broadcast."""
     feat = _features(spark, sf_dir).select(
         "file_id", scoring.basename_col(F.col("path")).alias("base")
     )
     p = _pairs(spark, sf_dir).select("left_id", "right_id")
-    bl, br = F.broadcast(feat).alias("__bl"), F.broadcast(feat).alias("__br")
     return (
-        p.join(bl, p["left_id"] == F.col("__bl.file_id"))
-        .join(br, p["right_id"] == F.col("__br.file_id"))
+        scoring.pair_feature_join(p, feat)
         .select(
-            strdist.proj_col(F.col("__bl.base")).alias("base_a"),
-            strdist.proj_col(F.col("__br.base")).alias("base_b"),
+            strdist.proj_col(F.col("l_base")).alias("base_a"),
+            strdist.proj_col(F.col("r_base")).alias("base_b"),
         )
         .distinct()
     )

@@ -296,6 +296,44 @@ def sql_match_p(cos: str, jac: str, jw: str, lev: str, exact_sha: str) -> str:
     return f"(1.0 / (1.0 + exp(-{z})))"
 
 
+def pair_feature_join(
+    pairs: DataFrame, feat: DataFrame, broadcast_features: bool = True
+) -> DataFrame:
+    """The gated two-sided feature fetch shared by ``score_pairs`` and the
+    string-panel queries: pairs(left_id, right_id, ...) joined twice
+    against feat(file_id, ...), returning the pair columns plus l_*/r_*
+    copies of every feature column.
+
+    With ``broadcast_features`` the caller asserts the projected feature
+    table fits executor memory and both fetches are map-side hash joins;
+    with False the choice is left to AQE (or a bucketed sort-merge when
+    both tables are bucketed by file_id) — no unconditional broadcast
+    anywhere downstream of this gate.
+
+    NOTE: the SAME un-aliased feature subtree is joined twice and renamed
+    AFTER each join. Measured round 2: under AQE the two broadcast stages
+    do NOT unify into a ReusedExchange at runtime — each builds its own
+    hash relation from the child plan. Callers must therefore persist the
+    feature table (pipeline/bench/er_queries all do) so the expensive
+    columns (the Arrow embedding kernel) materialize once and both
+    broadcast builds read the cache."""
+    if broadcast_features:
+        feat = F.broadcast(feat)
+    feat_cols = feat.columns
+    pair_cols = pairs.columns
+    fa, fb = feat.alias("__fa"), feat.alias("__fb")
+    j1 = pairs.join(fa, pairs["left_id"] == F.col("__fa.file_id"))
+    j1 = j1.select(
+        *[pairs[c] for c in pair_cols],
+        *[F.col(f"__fa.{c}").alias(f"l_{c}") for c in feat_cols],
+    )
+    df = j1.join(fb, F.col("right_id") == F.col("__fb.file_id"))
+    return df.select(
+        *[j1[c] for c in j1.columns],
+        *[F.col(f"__fb.{c}").alias(f"r_{c}") for c in feat_cols],
+    )
+
+
 def score_pairs(
     pairs: DataFrame, features: DataFrame, broadcast_features: bool = True
 ) -> DataFrame:
@@ -324,28 +362,7 @@ def score_pairs(
         F.col("shingle_hashes"),
         F.col("embedding"),
     )
-    if broadcast_features:
-        feat = F.broadcast(feat)
-    # join the SAME un-aliased feature subtree twice and rename AFTER each
-    # join. NOTE (measured round 2): under AQE the two broadcast stages do
-    # NOT unify into a ReusedExchange at runtime — each builds its own
-    # hash relation from the child plan. Callers must therefore persist
-    # the features table (pipeline/bench/er_queries all do) so the
-    # expensive columns (the Arrow embedding kernel) materialize once and
-    # both broadcast builds read the cache.
-    feat_cols = feat.columns
-    pair_cols = pairs.columns
-    fa, fb = feat.alias("__fa"), feat.alias("__fb")
-    j1 = pairs.join(fa, pairs["left_id"] == F.col("__fa.file_id"))
-    j1 = j1.select(
-        *[pairs[c] for c in pair_cols],
-        *[F.col(f"__fa.{c}").alias(f"l_{c}") for c in feat_cols],
-    )
-    df = j1.join(fb, F.col("right_id") == F.col("__fb.file_id"))
-    df = df.select(
-        *[j1[c] for c in j1.columns],
-        *[F.col(f"__fb.{c}").alias(f"r_{c}") for c in feat_cols],
-    )
+    df = pair_feature_join(pairs, feat, broadcast_features)
     df = df.withColumn("cosine", cosine_col(F.col("l_embedding"), F.col("r_embedding")))
     # one hash-set build per pair feeds the whole shingle-set similarity
     # family: |A∪B| = |A|+|B|−|A∩B|, dice/overlap/cosine all derive from

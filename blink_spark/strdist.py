@@ -37,6 +37,17 @@ The reference's remaining name, Tanimoto, is ``log2`` of the Jaccard
 coefficient — a monotone transform of the ``jaccard_sh``/``charjac_base``
 columns already emitted — and is intentionally not duplicated.
 
+Fidelity note: these kernels are CHARACTER-level variants of the
+reference grid.  textdistance's default ``qval=None`` tokenizes on
+whitespace (word-level sequences), and its Monge-Elkan splits tokens
+with ``str.split()`` where ours splits on ``[^a-z0-9]+``.  On the
+single-token basename strings this panel scores the two conventions
+coincide; on multi-token strings values intentionally diverge from the
+reference grid (character-level is the right granularity for filename
+keys).  Parity is therefore pinned against independent character-level
+naive implementations (``tests/test_strdist.py``), not against
+textdistance word-level outputs.
+
 Parity contract (mirrors the lev_path contract in scoring.py): every
 distance operates on ``proj(s) = lower(regexp_replace(s, '[^ -~]', '?'))``
 — non-printable-ASCII codepoints project to '?' BEFORE lowercasing, so
@@ -82,8 +93,11 @@ def sql_proj(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def hamming_count(a: str, b: str) -> int:
-    """Positional mismatches over the aligned prefix + the length gap
-    (textdistance ``Hamming(qval=None)`` distance)."""
+    """Positional mismatches over the aligned prefix + the length gap —
+    the CHARACTER-level Hamming count (textdistance's ``qval=None``
+    tokenizes on whitespace, i.e. word-level sequences; this panel is
+    uniformly character-level — see the module-docstring fidelity
+    note)."""
     n = min(len(a), len(b))
     return sum(a[i] != b[i] for i in range(n)) + abs(len(a) - len(b))
 
@@ -215,9 +229,11 @@ def _tokens(s: str) -> list[str]:
 def monge_elkan_dl(a: str, b: str) -> float:
     """Token-level Monge-Elkan with a normalized Damerau-Levenshtein
     inner similarity (the canonical definition; the reference grid's
-    MongeElkan row with its default Damerau-Levenshtein inner algorithm).
-    Asymmetric by definition — pairs arrive in canonical left<right
-    order, so the direction is deterministic."""
+    MongeElkan row uses the same inner algorithm but splits tokens with
+    ``str.split()`` where this splits on ``[^a-z0-9]+`` — see the
+    module-docstring fidelity note).  Asymmetric by definition — pairs
+    arrive in canonical left<right order, so the direction is
+    deterministic."""
     ta, tb = _tokens(a), _tokens(b)
     if not ta and not tb:
         return 1.0
@@ -441,12 +457,16 @@ for _x, _y in _STRCMP95_PAIRS:
     _SIMILAR.add((_y, _x))
 
 
-def strcmp95(a: str, b: str) -> float:
+def strcmp95(a: str, b: str, long_strings: bool = False) -> float:
     """Winkler's strcmp95: Jaro with 0.3 partial credit for 'similar'
-    unmatched characters, the standard prefix boost, and the long-string
-    adjustment.  Comparison is case-insensitive per the original (inputs
-    here are already lowercased by proj(); the table is consulted in
-    upper case)."""
+    unmatched characters, the standard prefix boost, and (opt-in) the
+    long-string adjustment.  ``long_strings`` defaults to False to match
+    the reference grid's ``textdistance.StrCmp95()`` default
+    (``scripts/prepare_nil_dataset.py:209-253``); when enabled the guard
+    follows the published strcmp95.c (first char not a digit), not a
+    both-isalpha variant.  Comparison is case-insensitive per the
+    original (inputs here are already lowercased by proj(); the table is
+    consulted in upper case)."""
     len1, len2 = len(a), len(b)
     if len1 == 0 or len2 == 0:
         # mirror the engine's Jaro convention: any empty side → 0
@@ -492,13 +512,15 @@ def strcmp95(a: str, b: str) -> float:
             break
         prefix += 1
     weight += prefix * 0.1 * (1.0 - weight)
-    # long-string adjustment
-    minlen = min(len1, len2)
-    if minlen > 4 and m > prefix + 1 and 2 * m >= minlen + prefix:
-        if au.isalpha() and bu.isalpha():
-            weight += (1.0 - weight) * (
-                (m - prefix - 1) / (len1 + len2 - 2 * prefix + 2)
-            )
+    # long-string adjustment (strcmp95.c: applied only when the caller
+    # opts in, and only when the first character is not a digit)
+    if long_strings:
+        minlen = min(len1, len2)
+        if minlen > 4 and m > prefix + 1 and 2 * m >= minlen + prefix:
+            if not au[0].isdigit():
+                weight += (1.0 - weight) * (
+                    (m - prefix - 1) / (len1 + len2 - 2 * prefix + 2)
+                )
     return weight
 
 
