@@ -266,6 +266,29 @@ def q_clusters(spark, sf_dir):
     return _clusters(spark, sf_dir)
 
 
+def q_incremental_clusters(spark, sf_dir):
+    """Incremental two-batch linking under the hard oracle gate (I1/I2:
+    the KBP incremental-KB loop, ``scripts/kbp_simulation.py:316-366``).
+
+    The corpus is split deterministically in half by a sha bit of the
+    path; batch 1 is linked alone, batch 2 is linked against the
+    accumulated state (feature kernels run on the NEW rows only,
+    old-only blocks are pruned, prior assignments enter the closure as
+    star edges).  The merged assignment must hash-match the ONE-SHOT
+    transitive closure the DuckDB oracle computes over the whole table —
+    the incremental-equals-batch guarantee, proven end-to-end against an
+    independent engine rather than only pinned in unit tests."""
+    from blink_spark import incremental
+
+    src = load_source(spark, sf_dir)
+    first = F.substring(F.sha2(F.col("path"), 256), 1, 1).isin(
+        *list("01234567")
+    )
+    st1 = incremental.link_batch(None, src.filter(first)).persist()
+    st2 = incremental.link_batch(st1, src.filter(~first))
+    return st2.clusters
+
+
 def q_cluster_sizes(spark, sf_dir):
     """Cluster-size histogram (``value_counts`` report analog, §2.5 A7)."""
     sizes = _clusters(spark, sf_dir).groupBy("cluster_id").agg(
@@ -805,6 +828,10 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
              FROM bp""",
         "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
         "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
+        # identical text to er_clusters on purpose: the incremental
+        # two-batch run must converge to the one-shot closure
+        "er_incremental_clusters": c
+        + "SELECT file_id, cluster_id FROM clusters",
         "er_cluster_sizes": c
         + """SELECT n_members, count(*) AS n_clusters FROM (
                SELECT cluster_id, count(*) AS n_members
@@ -965,6 +992,7 @@ QUERIES = {
     "er_string_panel_full": q_string_panel_full,
     "er_match_edges": q_match_edges,
     "er_clusters": q_clusters,
+    "er_incremental_clusters": q_incremental_clusters,
     "er_cluster_sizes": q_cluster_sizes,
     "er_confusion": q_confusion,
     "er_block_census": q_block_census,

@@ -232,8 +232,17 @@ def asof_latest_view(ev: DataFrame) -> DataFrame:
 # Structured Streaming variants
 # ---------------------------------------------------------------------------
 
-def read_events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+def read_events_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream.  ``max_files_per_trigger`` is a SOURCE
+    option (setting it on writeStream is a silent no-op): with 1, each
+    staged chunk becomes its own micro-batch, genuinely exercising the
+    cross-batch state carry instead of one catch-all batch."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
 
 
 def with_event_time(ev: DataFrame) -> DataFrame:
@@ -264,14 +273,17 @@ def windowed_counts(ev: DataFrame) -> DataFrame:
 
 
 def windowed_counts_stream(
-    spark: SparkSession, input_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked streaming window aggregation over an events dir —
     identical output shape to ``windowed_counts`` on the same data, so
     the two are directly comparable (tests assert equality)."""
-    ev = with_event_time(read_events_stream(spark, input_dir)).withWatermark(
-        "event_time", watermark
-    )
+    ev = with_event_time(
+        read_events_stream(spark, input_dir, max_files_per_trigger)
+    ).withWatermark("event_time", watermark)
     return (
         ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(
@@ -407,6 +419,7 @@ def sessionize_stream(
     input_dir: str,
     flush_idle: bool = False,
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stateful streaming sessionizer (``applyInPandasWithState``):
     same session definition as the batch ``sessionize``; closed sessions
@@ -417,7 +430,7 @@ def sessionize_stream(
     instead of waiting (possibly forever) for the user's next event."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    base = read_events_stream(spark, input_dir)
+    base = read_events_stream(spark, input_dir, max_files_per_trigger)
     ev = base.select("user_id", ts_us_col("ts").alias("ts_us"), "value")
     timeout = GroupStateTimeout.NoTimeout
     if flush_idle:
@@ -458,11 +471,130 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_latest_view(load_events(spark, sf_dir))
 
 
+def _stage_stream_input(
+    sf_dir: str, n_chunks: int = 3, sentinel: bool = False
+) -> str:
+    """Write the events table as time-ordered parquet chunks with strictly
+    increasing mtimes — the arrival order a real stream would have (the
+    file source processes files in mtime order under maxFilesPerTrigger=1).
+
+    Harness scaffolding only: in production the stream arrives pre-ordered
+    from Kafka/file drops; this driver-side pandas pass exists to SIMULATE
+    that arrival inside a single correctness query, sf0.01 events fit
+    trivially.  With ``sentinel`` a final chunk appends one far-future
+    event per user (global max ts + gap + 1s), which closes every real
+    open session; the sentinel sessions themselves never emit, so the
+    streamed output covers exactly the batch result."""
+    import os
+    import tempfile
+    import time
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    input_dir = tempfile.mkdtemp(prefix="evt_stream_in_")
+    k = max(1, len(pdf) // n_chunks)
+    chunks = [
+        pdf.iloc[i * k: len(pdf) if i == n_chunks - 1 else (i + 1) * k]
+        for i in range(n_chunks)
+    ]
+    if sentinel:
+        users = pdf["user_id"].unique()
+        sent_ts = pdf["ts"].max() + pd.Timedelta(seconds=SESSION_GAP_S + 1)
+        chunks.append(
+            pd.DataFrame(
+                {
+                    "event_id": -1 - np.arange(len(users), dtype=np.int64),
+                    # keep the SOURCE timestamp resolution: a bare
+                    # Timestamp column defaults to ns, and the file
+                    # source rejects a chunk whose parquet type differs
+                    # from the us-resolution real chunks
+                    "ts": pd.Series(
+                        [sent_ts] * len(users), dtype=pdf["ts"].dtype
+                    ),
+                    "user_id": users,
+                    "event_type": "__sentinel__",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+        )
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        p = os.path.join(input_dir, f"chunk{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    return input_dir
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str, timeout_s: int = 600):
+    """availableNow-drain a streaming DataFrame into a uniquely-named
+    memory sink; returns (spark, table_name)."""
+    import uuid
+
+    name = f"evt_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+    return name
+
+
+def q_evt_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation, verified against the
+    SAME batch oracle as the rollup family: the events table replayed as
+    time-ordered micro-batches through the watermarked streaming plan
+    must produce value-identical hourly aggregates to one DuckDB pass
+    over the table at rest (stream/batch unification)."""
+    input_dir = _stage_stream_input(sf_dir)
+    name = _run_to_memory(
+        windowed_counts_stream(spark, input_dir, max_files_per_trigger=1),
+        "complete",
+    )
+    t = spark.table(name)
+    return t.select(
+        "bucket_us",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        # already rounded in-stream; + 0.0 canonicalizes any -0.0
+        (F.col("sum_value") + F.lit(0.0)).alias("sum_value"),
+    )
+
+
+def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming sessionizer (applyInPandasWithState) under
+    the hard oracle gate: replay the events table as time-ordered
+    micro-batches plus a per-user far-future sentinel (which closes every
+    real open session), and the emitted closed sessions must hash-match
+    the batch/DuckDB gap-sessionization of the table at rest.  The
+    sentinel sessions themselves stay open in state and never emit."""
+    input_dir = _stage_stream_input(sf_dir, sentinel=True)
+    stream_df = sessionize_stream(spark, input_dir, max_files_per_trigger=1)
+    name = _run_to_memory(stream_df, "update")
+    t = spark.table(name)
+    return t.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+        (F.col("duration_s") + F.lit(0.0)).alias("duration_s"),
+        (F.col("sum_value") + F.lit(0.0)).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "evt_windowed_rollup": q_evt_windowed_rollup,
     "evt_daily_rollup": q_evt_daily_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_asof_join": q_evt_asof_join,
+    "evt_stream_windowed": q_evt_stream_windowed,
+    "evt_stream_sessionize": q_evt_stream_sessionize,
 }
 
 
@@ -505,6 +637,23 @@ SELECT user_id, session_idx, count(*) AS n_events,
        round((max(ts_us) - min(ts_us)) / 1000000.0, 6) + 0.0 AS duration_s,
        round(sum(value), 6) + 0.0 AS sum_value
 FROM s GROUP BY 1, 2"""
+
+    # stream/batch unification oracles: the streaming plans replay the
+    # SAME table as micro-batches, so one DuckDB pass over the table at
+    # rest is their exact expected output.  A hash-green row here means
+    # the watermarked streaming aggregation / the stateful sessionizer
+    # produced value-identical results to the batch semantics.
+    sql["evt_stream_windowed"] = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) + 0.0 AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    # identical text to evt_sessionize on purpose: closed streamed
+    # sessions (+ sentinel-forced closure of the open tails) must equal
+    # the batch gap-sessionization row-for-row
+    sql["evt_stream_sessionize"] = sql["evt_sessionize"]
 
     # independent formulation on purpose: DuckDB's native ASOF JOIN
     # cross-checks the union-and-window implementation.  (user_id, ts)

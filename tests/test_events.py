@@ -67,12 +67,13 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
 
 def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
     input_dir, _ = _write_ordered_chunks(tmp_path)
-    stream_df = events.sessionize_stream(spark, input_dir)
+    # maxFilesPerTrigger is a SOURCE option: one chunk per micro-batch,
+    # so the cross-batch carry path actually runs
+    stream_df = events.sessionize_stream(spark, input_dir, max_files_per_trigger=1)
     q = (
         stream_df.writeStream.format("memory")
         .queryName("evt_sess_stream")
         .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -106,13 +107,13 @@ def test_sessionize_stream_flush_idle_times_out_open_sessions(spark, tmp_path):
     later event closes."""
     input_dir, _ = _write_ordered_chunks(tmp_path)
     stream_df = events.sessionize_stream(
-        spark, input_dir, flush_idle=True, watermark="0 seconds"
+        spark, input_dir, flush_idle=True, watermark="0 seconds",
+        max_files_per_trigger=1,
     )
     q = (
         stream_df.writeStream.format("memory")
         .queryName("evt_sess_flush")
         .outputMode("update")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
