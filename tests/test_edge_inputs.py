@@ -113,3 +113,41 @@ def test_bpe_token_count_parity(spark, duck):
         for c in cases
     ]
     assert got == want, list(zip(cases, got, want))
+
+
+def test_char_ngrams_parity(spark, duck):
+    """char_ngrams_col must agree with its DuckDB mirror on the inputs
+    that break naive slicing: empty text (sentinel ['']), text shorter
+    than n (itself as the one gram), multibyte unicode (both engines
+    slice by codepoint, hash UTF-8 bytes), control chars, repeats."""
+    from pyspark.sql import functions as F
+
+    from blink_spark.textops import NGRAM_N, char_ngrams_col, sql_char_ngrams
+
+    cases = [
+        "",
+        "a",
+        "abcdef",  # == n-1 for n=7
+        "abcdefg",
+        "abcdefgh",
+        "naïve café ©µ — ünïcödé",
+        "aaaaaaaaaaaa",  # repeats: distinct set collapses
+        "tab\tsep\r\nwin\x0bvt",
+        "don't stop me now",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        sorted(r[0])
+        for r in df.select(char_ngrams_col(F.col("text"))).collect()
+    ]
+    want = [
+        sorted(
+            duck.execute(
+                "SELECT " + sql_char_ngrams("?", NGRAM_N), [c]
+            ).fetchone()[0]
+        )
+        for c in cases
+    ]
+    assert got == want, list(zip(cases, got, want))
+    # never-empty invariant: every row must produce >= 1 gram
+    assert all(len(g) >= 1 for g in got)
