@@ -1,32 +1,55 @@
-"""Iceberg-style stage checkpoints with lineage manifests + resume.
+"""Iceberg-style stage checkpoints: snapshots, lineage manifests, resume,
+time travel.
 
 The reference's crash-safety idiom is file-level: each script writes its
 output files and a summary CSV, and reruns skip tasks already present
 (``scripts/feature_ablation_study.py:906-915``; partial-write appends at
 ``scripts/kbp_simulation.py:763-769``). Here that idiom becomes per-stage
-parquet tables plus a JSON manifest row per stage:
+parquet SNAPSHOTS plus a JSON manifest row per commit — the same metadata
+shape Iceberg uses (immutable snapshot data files + an append-only snapshot
+log whose last entry is the current table state):
 
-    <dir>/<run_id>/<stage>/           parquet data (atomic: _SUCCESS marker)
-    <dir>/<run_id>/manifest.jsonl     one line per completed stage:
-        {run_id, stage, rows, n_partitions (total in the written table),
-         n_nonempty_partitions, partition_rows{min,max,mean},
-         skew_max_over_mean, wall_s, finished_utc_ns}
+    <dir>/<run_id>/<stage>/snap-NNNNNN/   immutable parquet data (+ _SUCCESS)
+    <dir>/<run_id>/manifest.jsonl         one line per COMMITTED snapshot:
+        {run_id, stage, snapshot_id, parent_snapshot_id, operation,
+         schema, rows, n_partitions, n_nonempty_partitions,
+         partition_rows{min,max,mean}, skew_max_over_mean, wall_s,
+         finished_utc_ns}
 
-Resume = "is the stage's manifest line present and the _SUCCESS marker on
-disk"; if so the stage is read back instead of recomputed — so a killed run
-re-executes only downstream stages (tested in tests/test_resume.py). On a
-real deployment these tables are Iceberg and the manifest is the table
-snapshot log; parquet + JSONL keeps the sandbox dependency-free while
-preserving the exact semantics (atomic publish, idempotent re-run, lineage).
+Commit protocol (object-store safe, mirrors blink_spark.streaming): write
+the snapshot directory, let Spark drop the ``_SUCCESS`` marker, then append
+ONE manifest line — the manifest append is the atomic commit point. A crash
+before the append leaves an orphan directory that no reader ever sees (and
+that the next publish simply supersedes); a torn trailing line is ignored on
+load. Readers never list data directories — the manifest alone names every
+live snapshot — so the layout is safe on eventually-consistent stores.
+
+Semantics carried over from Iceberg:
+- resume-if-done:   ``materialize`` re-reads the current snapshot
+- re-publish:       ``publish`` commits a NEW snapshot; old ones stay
+                    readable (snapshot isolation for concurrent readers)
+- time travel:      ``read_as_of(stage, snapshot_id)``
+- schema evolution: each snapshot records (and serves) its own schema
+- expiration:       ``expire_snapshots(stage, keep_last=k)`` deletes old
+                    data files; the log keeps the lineage rows
+
+On a real deployment these tables are Iceberg and this module is replaced
+by the catalog; parquet + JSONL keeps the sandbox dependency-free while
+preserving the exact semantics.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotNotFound(LookupError):
+    pass
 
 
 class StageWriter:
@@ -36,77 +59,198 @@ class StageWriter:
         self.run_id = run_id
         os.makedirs(self.dir, exist_ok=True)
         self.manifest_path = os.path.join(self.dir, "manifest.jsonl")
-        self._done = self._load_manifest()
+        # full snapshot log per stage, commit order == file order
+        self._log: dict[str, list[dict]] = {}
+        self._load_manifest()
 
-    def _load_manifest(self) -> dict[str, dict]:
-        done = {}
+    def _load_manifest(self) -> None:
+        self._log = {}
+        tombstones: list[dict] = []
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 for line in f:
-                    if line.strip():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
                         rec = json.loads(line)
-                        done[rec["stage"]] = rec
-        return done
+                    except json.JSONDecodeError:
+                        # torn trailing line from a crash mid-append: the
+                        # commit never happened; ignore it
+                        continue
+                    if rec["stage"] == "__expire__":
+                        tombstones.append(rec)
+                    else:
+                        self._log.setdefault(rec["stage"], []).append(rec)
+        for ts in tombstones:
+            for rec in self._log.get(ts["target_stage"], []):
+                if rec["snapshot_id"] == ts["snapshot_id"]:
+                    rec["expired"] = True
 
-    def _stage_path(self, stage: str) -> str:
-        return os.path.join(self.dir, stage)
+    # -- paths ------------------------------------------------------------
+
+    def _snap_path(self, stage: str, snapshot_id: int) -> str:
+        return os.path.join(self.dir, stage, f"snap-{snapshot_id:06d}")
+
+    def _append_line(self, rec: dict) -> None:
+        """Append one manifest line; if a previous append tore mid-line
+        (crash without trailing newline), start on a fresh line so the
+        torn tail stays an isolated, ignorable fragment."""
+        lead = ""
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() > 0:
+                    f.seek(-1, os.SEEK_END)
+                    if f.read(1) != b"\n":
+                        lead = "\n"
+        with open(self.manifest_path, "a") as f:
+            f.write(lead + json.dumps(rec) + "\n")
+
+    # -- log accessors ----------------------------------------------------
+
+    def snapshots(self, stage: str) -> list[dict]:
+        """The stage's committed snapshot log, oldest first."""
+        return list(self._log.get(stage, []))
+
+    def current_snapshot(self, stage: str) -> dict | None:
+        log = self._log.get(stage)
+        return log[-1] if log else None
 
     def is_done(self, stage: str) -> bool:
-        path = self._stage_path(stage)
-        return stage in self._done and os.path.exists(os.path.join(path, "_SUCCESS"))
-
-    def materialize(self, stage: str, build) -> DataFrame:
-        """Build + persist the stage unless already complete; return a
-        DataFrame reading the persisted table (stable across restarts)."""
-        path = self._stage_path(stage)
-        if not self.is_done(stage):
-            from pyspark.sql import functions as F
-
-            t0 = time.monotonic()
-            df = build()
-            df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
-            # per-partition lineage + skew metrics (north-rule: every stage
-            # records enough to spot a hot partition without re-running):
-            # one tiny aggregate over spark_partition_id per materialization
-            pstats = (
-                out.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("n"))
-                .agg(
-                    F.count("*").alias("parts"),
-                    F.sum("n").alias("rows"),
-                    F.min("n").alias("p_min"),
-                    F.max("n").alias("p_max"),
-                    F.avg("n").alias("p_mean"),
-                )
-                .collect()[0]
-            )
-            skew = (
-                float(pstats["p_max"]) / float(pstats["p_mean"])
-                if pstats["p_mean"]
-                else 1.0
-            )
-            rec = {
-                "run_id": self.run_id,
-                "stage": stage,
-                "rows": pstats["rows"] or 0,
-                # total partitions of the written table; the skew stats
-                # below see only non-empty ones (groupBy drops empties)
-                "n_partitions": out.rdd.getNumPartitions(),
-                "n_nonempty_partitions": pstats["parts"],
-                "partition_rows": {
-                    "min": pstats["p_min"] or 0,
-                    "max": pstats["p_max"] or 0,
-                    "mean": round(float(pstats["p_mean"] or 0.0), 1),
-                },
-                "skew_max_over_mean": round(skew, 3),
-                "wall_s": round(time.monotonic() - t0, 3),
-                "finished_utc_ns": time.time_ns(),
-            }
-            with open(self.manifest_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            self._done[stage] = rec
-        return self.spark.read.parquet(path)
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            return False
+        return os.path.exists(
+            os.path.join(self._snap_path(stage, cur["snapshot_id"]), "_SUCCESS")
+        )
 
     def manifest(self) -> list[dict]:
-        return list(self._done.values())
+        """Current (latest) snapshot row per stage — the table state."""
+        return [log[-1] for log in self._log.values() if log]
+
+    def history(self) -> list[dict]:
+        """Every committed snapshot row, commit order within each stage."""
+        return [rec for log in self._log.values() for rec in log]
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, stage: str) -> DataFrame:
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            raise SnapshotNotFound(f"stage {stage!r} has no committed snapshot")
+        return self.read_as_of(stage, cur["snapshot_id"])
+
+    def read_as_of(self, stage: str, snapshot_id: int) -> DataFrame:
+        """Time travel: the stage exactly as committed at ``snapshot_id``
+        (including that snapshot's schema)."""
+        for rec in self._log.get(stage, []):
+            if rec["snapshot_id"] == snapshot_id:
+                if rec.get("expired"):
+                    raise SnapshotNotFound(
+                        f"snapshot {snapshot_id} of stage {stage!r} was expired"
+                    )
+                return self.spark.read.parquet(self._snap_path(stage, snapshot_id))
+        raise SnapshotNotFound(
+            f"stage {stage!r} has no snapshot {snapshot_id} in the log"
+        )
+
+    # -- commits ----------------------------------------------------------
+
+    def materialize(self, stage: str, build) -> DataFrame:
+        """Build + publish the stage unless already committed; return a
+        DataFrame reading the current snapshot (stable across restarts)."""
+        if not self.is_done(stage):
+            self.publish(stage, build())
+        return self.read(stage)
+
+    def publish(self, stage: str, df: DataFrame, operation: str = "overwrite") -> dict:
+        """Commit ``df`` as a NEW immutable snapshot of ``stage`` and return
+        its manifest row. Prior snapshots remain readable via
+        ``read_as_of`` until expired — a re-publish never mutates data a
+        concurrent reader may hold (snapshot isolation)."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_snapshot(stage)
+        snapshot_id = (cur["snapshot_id"] + 1) if cur else 1
+        path = self._snap_path(stage, snapshot_id)
+
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        # per-partition lineage + skew metrics (north-rule: every stage
+        # records enough to spot a hot partition without re-running):
+        # one tiny aggregate over spark_partition_id per commit
+        pstats = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").alias("parts"),
+                F.sum("n").alias("rows"),
+                F.min("n").alias("p_min"),
+                F.max("n").alias("p_max"),
+                F.avg("n").alias("p_mean"),
+            )
+            .collect()[0]
+        )
+        skew = (
+            float(pstats["p_max"]) / float(pstats["p_mean"])
+            if pstats["p_mean"]
+            else 1.0
+        )
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"] if cur else None,
+            "operation": operation,
+            "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in out.schema],
+            "rows": pstats["rows"] or 0,
+            # total partitions of the written table; the skew stats
+            # below see only non-empty ones (groupBy drops empties)
+            "n_partitions": out.rdd.getNumPartitions(),
+            "n_nonempty_partitions": pstats["parts"],
+            "partition_rows": {
+                "min": pstats["p_min"] or 0,
+                "max": pstats["p_max"] or 0,
+                "mean": round(float(pstats["p_mean"] or 0.0), 1),
+            },
+            "skew_max_over_mean": round(skew, 3),
+            "wall_s": round(time.monotonic() - t0, 3),
+            "finished_utc_ns": time.time_ns(),
+        }
+        # the manifest append IS the commit — everything above is invisible
+        # to readers until this line lands
+        self._append_line(rec)
+        self._log.setdefault(stage, []).append(rec)
+        return rec
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[int]:
+        """Delete the data files of all but the newest ``keep_last``
+        snapshots (Iceberg's expire_snapshots). Lineage rows stay in the
+        log, flagged ``expired`` via a tombstone commit line so readers get
+        a clear error instead of a missing-path stack trace."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1: the current snapshot is live")
+        log = self._log.get(stage, [])
+        expired: list[int] = []
+        for rec in log[:-keep_last]:
+            if rec.get("expired"):
+                continue
+            rec["expired"] = True
+            shutil.rmtree(
+                self._snap_path(stage, rec["snapshot_id"]), ignore_errors=True
+            )
+            self._append_line(
+                {
+                    "run_id": self.run_id,
+                    "stage": "__expire__",
+                    "target_stage": stage,
+                    "snapshot_id": rec["snapshot_id"],
+                    "finished_utc_ns": time.time_ns(),
+                }
+            )
+            expired.append(rec["snapshot_id"])
+        return expired

@@ -1,0 +1,146 @@
+"""Iceberg-semantics snapshot layer of the checkpoint store: immutable
+snapshots + append-only log, time travel, snapshot isolation across a
+re-publish, schema evolution, expiration, and torn/orphan crash recovery.
+
+The reference has no table format at all (flat files + resume-if-present,
+``scripts/feature_ablation_study.py:906-915``); the north rule mandates
+Iceberg checkpoints, and these are the semantics that phrase buys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark.checkpoint import SnapshotNotFound, StageWriter
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_publish_creates_new_snapshot_and_time_travel(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "a"), (2, "b")], ["id", "v"]))
+    w.publish("t", _df(spark, [(1, "a"), (2, "B"), (3, "c")], ["id", "v"]))
+
+    log = w.snapshots("t")
+    assert [r["snapshot_id"] for r in log] == [1, 2]
+    assert log[1]["parent_snapshot_id"] == 1
+    assert w.current_snapshot("t")["snapshot_id"] == 2
+
+    # current read sees the re-publish; time travel sees the original
+    cur = {(r["id"], r["v"]) for r in w.read("t").collect()}
+    old = {(r["id"], r["v"]) for r in w.read_as_of("t", 1).collect()}
+    assert cur == {(1, "a"), (2, "B"), (3, "c")}
+    assert old == {(1, "a"), (2, "b")}
+
+    with pytest.raises(SnapshotNotFound):
+        w.read_as_of("t", 99)
+    with pytest.raises(SnapshotNotFound):
+        w.read("missing_stage")
+
+
+def test_snapshot_log_survives_restart(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,)], ["id"]))
+    w.publish("t", _df(spark, [(1,), (2,)], ["id"]))
+
+    w2 = StageWriter(spark, str(tmp_path), "r1")  # fresh load from disk
+    assert [r["snapshot_id"] for r in w2.snapshots("t")] == [1, 2]
+    assert w2.read_as_of("t", 1).count() == 1
+    assert w2.read("t").count() == 2
+
+
+def test_schema_evolution_each_snapshot_serves_its_own_schema(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "x")], ["id", "v"]))
+    w.publish("t", _df(spark, [(1, "x", 0.5)], ["id", "v", "score"]))
+
+    assert w.read_as_of("t", 1).columns == ["id", "v"]
+    assert w.read("t").columns == ["id", "v", "score"]
+    assert w.snapshots("t")[0]["schema"] == ["id:bigint", "v:string"]
+    assert w.snapshots("t")[1]["schema"] == ["id:bigint", "v:string", "score:double"]
+
+
+def test_expire_snapshots_keeps_current_and_tombstones_survive_restart(
+    spark, tmp_path
+):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    for n in (1, 2, 3):
+        w.publish("t", _df(spark, [(i,) for i in range(n)], ["id"]))
+
+    assert w.expire_snapshots("t", keep_last=1) == [1, 2]
+    assert w.read("t").count() == 3  # current untouched
+    with pytest.raises(SnapshotNotFound):
+        w.read_as_of("t", 1)
+    # lineage rows stay in the log, flagged
+    assert [r.get("expired", False) for r in w.snapshots("t")] == [True, True, False]
+    # idempotent: nothing left to expire
+    assert w.expire_snapshots("t", keep_last=1) == []
+    with pytest.raises(ValueError):
+        w.expire_snapshots("t", keep_last=0)
+
+    w2 = StageWriter(spark, str(tmp_path), "r1")  # tombstones reload
+    with pytest.raises(SnapshotNotFound):
+        w2.read_as_of("t", 2)
+    assert w2.read("t").count() == 3
+
+
+def test_orphan_snapshot_dir_is_invisible_and_superseded(spark, tmp_path):
+    """Crash AFTER the data write but BEFORE the manifest append: the
+    manifest line is the commit, so readers never see the orphan and the
+    next publish simply takes the next snapshot id past it."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,)], ["id"]))
+
+    # simulate the torn publish: data + _SUCCESS exist, no manifest line
+    orphan = _df(spark, [(999,)], ["id"])
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "r1", "t", "snap-000002")
+    )
+
+    w2 = StageWriter(spark, str(tmp_path), "r1")
+    assert w2.current_snapshot("t")["snapshot_id"] == 1
+    assert {r["id"] for r in w2.read("t").collect()} == {1}
+
+    # the next commit supersedes the orphan (same id, overwrite mode)
+    w2.publish("t", _df(spark, [(7,)], ["id"]))
+    assert {r["id"] for r in w2.read("t").collect()} == {7}
+
+
+def test_torn_manifest_tail_is_ignored(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,)], ["id"]))
+    manifest = os.path.join(str(tmp_path), "r1", "manifest.jsonl")
+    with open(manifest, "a") as f:
+        f.write('{"run_id": "r1", "stage": "t", "snapsho')  # crash mid-append
+
+    w2 = StageWriter(spark, str(tmp_path), "r1")
+    assert [r["snapshot_id"] for r in w2.snapshots("t")] == [1]
+    assert w2.read("t").count() == 1
+    # and the store still accepts commits afterwards (append self-heals:
+    # the next line begins on its own line? JSONL appends always end with
+    # a newline, so one torn tail line is the worst case)
+    w2.publish("u", _df(spark, [(5,)], ["id"]))
+    w3 = StageWriter(spark, str(tmp_path), "r1")
+    assert w3.current_snapshot("u")["snapshot_id"] == 1
+
+
+def test_materialize_resumes_from_current_snapshot(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _df(spark, [(1,)], ["id"])
+
+    w.materialize("t", build)
+    w.materialize("t", build)  # resume: no rebuild
+    assert calls["n"] == 1
+    assert w.manifest()[0]["snapshot_id"] == 1
