@@ -234,6 +234,112 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape, decorrelated (TPC-H Q17): revenue
+    from lineitems whose quantity is below half the part's own average
+    quantity, rolled up per brand. The correlated ``avg(l_quantity) where
+    same part`` becomes ONE per-part aggregate (map-side combinable
+    shuffle on l_partkey) that is then joined back — |part| rows, a
+    broadcast dim, so the fact table never shuffles twice.
+
+    Threshold parity: the per-part average is an exact DECIMAL sum
+    divided (one IEEE op) by a BIGINT count — bit-identical on both
+    engines — and l_quantity is compared against 0.5x that double, so
+    the filter boolean can never straddle a rounding edge."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(_MONEY)).cast("double")
+            / F.count("*")
+        ).alias("_avg_qty")
+    ).select(F.col("l_partkey").alias("_tp"), "_avg_qty")
+    small = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("_tp"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_small_lineitems"),
+            F.sum(_money("l_extendedprice")).alias("_rev"),
+        )
+        .select(
+            "p_brand",
+            "n_small_lineitems",
+            _dbl(F.col("_rev").cast("double") / 7.0, "avg_yearly_revenue"),
+        )
+    )
+
+
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-max scalar subquery (TPC-H Q15): the supplier(s) whose
+    quarterly revenue equals the maximum. The scalar max is a 1-row
+    aggregate broadcast into the filter (no window over a single global
+    partition — that would serialize the whole table through one task);
+    revenue is exact DECIMAL so max-equality is deterministic, ties kept.
+    supplier and nation are broadcast dims."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ntz(PRIORITY_LO))
+            & (F.col("l_shipdate") < _ntz(PRIORITY_HI))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("_rev"))
+    )
+    best = rev.agg(F.max("_rev").alias("_best"))
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        rev.join(F.broadcast(best), F.col("_rev") == F.col("_best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            _dbl(F.col("_rev"), "total_revenue"),
+        )
+    )
+
+
+BIG_ORDER_MIN_QTY = 250
+
+
+def q_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-HAVING join-back (TPC-H Q18): orders whose total lineitem
+    quantity exceeds BIG_ORDER_MIN_QTY, with customer attribution. The
+    HAVING runs on the per-order aggregate BEFORE the joins, so only the
+    qualifying ~1% of orders ever touch the orders/customer tables."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_MONEY)).alias("_q"))
+        .filter(F.col("_q") > BIG_ORDER_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", _money("o_totalprice").alias("_tp")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dbl(F.col("_tp"), "o_totalprice"),
+            _dbl(F.col("_q"), "total_qty"),
+        )
+    )
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -241,6 +347,9 @@ QUERIES = {
     "sql_dormant_customers": q_sql_dormant_customers,
     "sql_priority_discounted": q_sql_priority_discounted,
     "sql_promo_share": q_sql_promo_share,
+    "sql_small_qty_revenue": q_sql_small_qty_revenue,
+    "sql_top_supplier": q_sql_top_supplier,
+    "sql_big_orders": q_sql_big_orders,
 }
 
 
@@ -343,4 +452,53 @@ a AS (
 SELECT CAST(month AS BIGINT) AS month,
   round(100.0 * promo::DOUBLE / total::DOUBLE, 6) + 0.0 AS promo_share
 FROM a"""
+
+    sql["sql_small_qty_revenue"] = f"""
+WITH pa AS (
+  SELECT l_partkey,
+    sum(CAST(l_quantity AS {_MONEY}))::DOUBLE / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+),
+small AS (
+  SELECT p.p_brand, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN pa ON pa.l_partkey = l.l_partkey
+  WHERE l.l_quantity < 0.5 * pa.avg_qty
+)
+SELECT p_brand,
+  count(*) AS n_small_lineitems,
+  round(sum(CAST(l_extendedprice AS {_MONEY}))::DOUBLE / 7.0, 6) + 0.0
+    AS avg_yearly_revenue
+FROM small GROUP BY p_brand"""
+
+    sql["sql_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_DISC_PRICE}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{PRIORITY_LO}'
+    AND l_shipdate < TIMESTAMP '{PRIORITY_HI}'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name,
+  round(rev.r::DOUBLE, 6) + 0.0 AS total_revenue
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE rev.r = (SELECT max(r) FROM rev)"""
+
+    sql["sql_big_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS {_MONEY})) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS {_MONEY})) > {BIG_ORDER_MIN_QTY}
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+  CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  round(CAST(o.o_totalprice AS {_MONEY})::DOUBLE, 6) + 0.0 AS o_totalprice,
+  round(big.q::DOUBLE, 6) + 0.0 AS total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""
     return sql

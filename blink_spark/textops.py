@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
 
 from blink_spark import clustering, minhash, scoring
 from blink_spark.parity import r6 as _r6
@@ -390,6 +391,55 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
     return df.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
+TFIDF_TOP_K = 5
+
+
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-K terms per document — the corpus-statistics primitive
+    (keyword extraction / relevance weighting) every training-data
+    pipeline needs at some point.
+
+    Scale shape: explode → tf is ONE map-side-combinable shuffle on
+    (doc_id, term); document frequency is a second combinable aggregate
+    over the tf table (vocabulary-sized output — broadcastable, like any
+    term dictionary); the corpus size N is a 1-row aggregate broadcast
+    via crossJoin (never a driver collect); top-K per doc is a window
+    row_number over one shuffle on doc_id. Nothing is quadratic in
+    corpus size and no stage materializes the vocabulary per executor
+    beyond the broadcast dictionary.
+
+    Parity: idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style) with
+    the same IEEE-double op order on both engines; ranking ties break on
+    term ASC, a total order within a document."""
+    docs = _with_tokens(load_documents(spark, sf_dir)).select("doc_id", "tokens")
+    terms = docs.select("doc_id", F.explode("tokens").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_tfidf",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "df",
+            _r6(F.col("_tfidf"), 6).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) over the pre-registered `documents` view
 # ---------------------------------------------------------------------------
@@ -589,6 +639,26 @@ d3 AS (
   FROM d2
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM d3"""
+
+    sql["doc_tfidf_top_terms"] = c + f"""
+, terms AS (SELECT doc_id, unnest(tokens) AS term FROM docs),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+    tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS tfidf_raw
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_raw DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df,
+  round(tfidf_raw, 6) + 0.0 AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
     return sql
 
 
@@ -603,4 +673,5 @@ QUERIES = {
     "doc_emb_near_dup": q_doc_emb_near_dup,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
 }

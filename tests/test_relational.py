@@ -93,3 +93,55 @@ def test_promo_share_bounds_and_broadcast(spark):
     assert len(rows) == 12
     for r in rows:
         assert 0.0 <= r["promo_share"] <= 100.0
+
+
+def test_small_qty_revenue_decorrelated_and_small(spark):
+    """The Q17 shape: the correlated avg must appear as ONE aggregate +
+    broadcast join-back, never a per-row subquery or cartesian; the
+    small-quantity set is a strict subset of the fact table."""
+    df = relational.q_sql_small_qty_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    n_li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert 0 < sum(r["n_small_lineitems"] for r in rows) < n_li
+    assert all(r["avg_yearly_revenue"] > 0 for r in rows)
+
+
+def test_top_supplier_is_global_max_with_ties(spark):
+    rev_rows = relational.q_sql_top_supplier(spark, SF_DIR).collect()
+    assert len(rev_rows) >= 1
+    top = {r["total_revenue"] for r in rev_rows}
+    assert len(top) == 1  # every returned supplier carries the max revenue
+
+    # independent recompute of the max in raw Spark
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.expr(f"TIMESTAMP_NTZ '{relational.PRIORITY_LO}'"))
+        & (F.col("l_shipdate") < F.expr(f"TIMESTAMP_NTZ '{relational.PRIORITY_HI}'"))
+    )
+    best = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (1 - F.col("l_discount")).cast("decimal(6,4)")
+            ).alias("r")
+        )
+        .agg(F.max("r").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert abs(top.pop() - float(best)) < 1e-6
+
+
+def test_big_orders_having_bound(spark):
+    rows = relational.q_sql_big_orders(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["total_qty"] > relational.BIG_ORDER_MIN_QTY
+    # one row per qualifying order (the join-back must not duplicate)
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
