@@ -65,14 +65,16 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     # like the scaling harness does unless the caller overrides
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     # shuffle partitions must scale with the pre-dedup pair volume: the
-    # blocking dedup shuffles O(bands × block²) rows, and 32 partitions at
-    # sf0.5 means >1 GB sort partitions that spill. AQE coalesces the
-    # excess at small sf, so oversizing is free; it cannot SPLIT an
-    # oversized aggregation partition, so undersizing is not.
+    # blocking dedup shuffles O(bands × block²) rows — QUADRATIC in sf at
+    # this fixture's cluster-size distribution (72.5M pre-dedup rows at
+    # sf0.25 vs ~11M at sf0.1) — so partitions scale superlinearly with sf;
+    # 32 partitions at sf0.5 means >1 GB sort partitions that spill. AQE
+    # coalesces the excess at small sf, so oversizing is free; it cannot
+    # SPLIT an oversized aggregation partition, so undersizing is not.
     spark = get_spark(
         app_name="blink_spark_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 32, int(512 * _sfd(sf_dir))),
+        shuffle_partitions=max(cpus, 32, int(1024 * _sfd(sf_dir))),
     )
     _quiet(spark)
     timings: dict[str, float] = {}

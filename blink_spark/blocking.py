@@ -108,6 +108,65 @@ def _part_col(s_col):
     return F.pmod(F.conv(F.substring(F.col("file_id"), 1, 15), 16, 10).cast("long"), s_col)
 
 
+_RANK_PARTS = 64  # range partitions of the rank dictionaries
+
+
+def _order_rank(df: DataFrame, col: str, rank_col: str) -> DataFrame:
+    """Adds ``rank_col``: a deterministic long whose order over the rows of
+    ``df`` equals the STRING order of ``df[col]`` (rows must be distinct on
+    ``col``).
+
+    Construction is JVM-only and never single-partition: range-partition by
+    the column (range boundaries are sampled with Spark's deterministic
+    per-partition seeds), then row_number within each partition — rank =
+    (partition ordinal << 40) + row ordinal. Persisted because every
+    dictionary here feeds ≥2 consumers in one plan; the persist freezes one
+    materialization so all consumers see identical ranks.
+    """
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        df.repartitionByRange(_RANK_PARTS, col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            rank_col,
+            F.col("_pid").cast("long") * F.lit(1 << 40).cast("long")
+            + F.row_number().over(w).cast("long"),
+        )
+        .drop("_pid")
+        .persist()
+    )
+
+
+def _ranked_census(membership: DataFrame) -> DataFrame:
+    """(block_key, block_n, key_rank) — one row per distinct block key with
+    a deterministic integer rank whose order equals the STRING order of
+    ``block_key``.
+
+    Why: the pair dedup keeps ``min(block_key)`` per pair, but a min over a
+    string column cannot use hash aggregation (the agg buffer is not
+    fixed-width), so Spark plans SortAggregate — two full sorts of the
+    O(bands × Σ block²) pre-dedup pair table; measured at sf0.25 that sort
+    dominated the blocking stage (72.5M fat rows). Ranking the O(distinct
+    blocks) census once lets the pair table carry a long, dedup in a single
+    whole-stage-codegen HashAggregate, and join the string back onto the
+    O(pairs) result. ``min(key_rank)`` selects exactly the key
+    ``min(block_key)`` would, so the output is byte-identical.
+    """
+    census = membership.groupBy("block_key").agg(F.count("*").alias("block_n"))
+    return _order_rank(census, "block_key", "key_rank")
+
+
+def _ranked_files(membership: DataFrame) -> DataFrame:
+    """(file_id, file_rank) — the distinct file ids with an order-preserving
+    long rank (SURVEY J11's row-idx remap, applied where it pays: file ids
+    are 64-char sha hex, so every pre-dedup pair row carries ~130 bytes of
+    id strings through the widest shuffle of the pipeline; two longs carry
+    the same information in 16). ``l.file_rank < r.file_rank`` iff
+    ``l.file_id < r.file_id``, so canonical pair orientation is preserved
+    exactly."""
+    return _order_rank(membership.select("file_id").distinct(), "file_id", "file_rank")
+
+
 def candidate_pairs(
     membership: DataFrame,
     block_cap: int = DEFAULT_BLOCK_CAP,
@@ -117,49 +176,89 @@ def candidate_pairs(
     Blocks with ≤ block_cap members join directly; larger blocks go through
     the salted replication join. Output: (left_id, right_id, block_key, salt),
     deduped to one row per (left_id, right_id) keeping the min block_key.
-    """
-    # census is one row per block key — small at test scale (AQE will
-    # auto-broadcast), potentially huge at 10^12 rows (AQE falls back to a
-    # sort-merge join); no explicit broadcast hint on purpose.
-    census = membership.groupBy("block_key").agg(F.count("*").alias("block_n"))
-    m = membership.join(census, "block_key")
 
-    small = m.filter(F.col("block_n") <= block_cap).select("block_key", "file_id")
-    big = m.filter(F.col("block_n") > block_cap).select("block_key", "file_id", "block_n")
+    Scale shape: every pre-dedup pair row is FIXED-WIDTH — (file_rank,
+    file_rank, key_rank, salt) = 4 numerics instead of two 64-char sha ids
+    plus a ~50-char band-key string (~28 B vs ~150 B through the widest
+    shuffle of the pipeline), and the dedup ``min`` runs over longs, which
+    keeps it a whole-stage-codegen HashAggregate (a min over a string
+    column falls back to SortAggregate — two full sorts of the
+    O(bands × Σ block²) union; that sort dominated the stage at sf0.25).
+    ``min(key_rank)`` selects exactly the key ``min(block_key)`` would and
+    rank order preserves id order, so the output is byte-identical to the
+    direct string aggregation (the DuckDB oracle keeps computing
+    ``min(block_key)``). The id/key strings are joined back onto the
+    O(pairs) result from the O(n) dictionaries — the J11 row-idx remap
+    shape, same class as the scoring stage's per-side feature fetch.
+    """
+    # dictionaries are one row per distinct key/file — small at test scale
+    # (AQE will auto-broadcast the join-backs), O(n) at 10^12 rows (AQE
+    # falls back to sort-merge joins); no explicit broadcast hint on
+    # purpose.
+    ranked = _ranked_census(membership)
+    fdict = _ranked_files(membership)
+    m = membership.join(ranked, "block_key").join(fdict, "file_id")
+
+    small = m.filter(F.col("block_n") <= block_cap).select("key_rank", "file_rank")
+    # the salt partition is computed from the file-id hex prefix BEFORE the
+    # id string is dropped, so salts stay identical to the pre-rank layout
+    big = m.filter(F.col("block_n") > block_cap).select(
+        "key_rank", "file_id", "file_rank", "block_n"
+    )
 
     l, r = small.alias("l"), small.alias("r")
-    pairs_small = l.join(r, "block_key").filter(F.col("l.file_id") < F.col("r.file_id")).select(
-        F.col("l.file_id").alias("left_id"),
-        F.col("r.file_id").alias("right_id"),
-        F.col("block_key").alias("block_key"),
-        F.lit(0).alias("salt"),
+    pairs_small = (
+        l.join(r, "key_rank")
+        .filter(F.col("l.file_rank") < F.col("r.file_rank"))
+        .select(
+            F.col("l.file_rank").alias("left_rank"),
+            F.col("r.file_rank").alias("right_rank"),
+            F.col("key_rank").alias("key_rank"),
+            F.lit(0).alias("salt"),
+        )
     )
 
     # salted replication join: left replicated s ways, join on (block, part(right))
     s_col = F.ceil(F.col("block_n") / F.lit(block_cap)).cast("int")
-    big_p = big.withColumn("s", s_col).withColumn("part", _part_col(F.col("s").cast("long")))
+    big_p = (
+        big.withColumn("s", s_col)
+        .withColumn("part", _part_col(F.col("s").cast("long")))
+        .drop("file_id")
+    )
     lrep = (
         big_p.withColumn("q", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
-        .select("block_key", F.col("file_id"), F.col("q").cast("long").alias("q"))
+        .select("key_rank", "file_rank", F.col("q").cast("long").alias("q"))
         .alias("lb")
     )
-    rb = big_p.select("block_key", "file_id", "part").alias("rb")
+    rb = big_p.select("key_rank", "file_rank", "part").alias("rb")
     pairs_big = (
         lrep.join(
             rb,
-            (F.col("lb.block_key") == F.col("rb.block_key"))
+            (F.col("lb.key_rank") == F.col("rb.key_rank"))
             & (F.col("lb.q") == F.col("rb.part")),
         )
-        .filter(F.col("lb.file_id") < F.col("rb.file_id"))
+        .filter(F.col("lb.file_rank") < F.col("rb.file_rank"))
         .select(
-            F.col("lb.file_id").alias("left_id"),
-            F.col("rb.file_id").alias("right_id"),
-            F.col("lb.block_key").alias("block_key"),
+            F.col("lb.file_rank").alias("left_rank"),
+            F.col("rb.file_rank").alias("right_rank"),
+            F.col("lb.key_rank").alias("key_rank"),
             F.col("rb.part").cast("int").alias("salt"),
         )
     )
 
     allp = pairs_small.unionByName(pairs_big)
-    return allp.groupBy("left_id", "right_id").agg(
-        F.min("block_key").alias("block_key"), F.min("salt").alias("salt")
+    deduped = allp.groupBy("left_rank", "right_rank").agg(
+        F.min("key_rank").alias("key_rank"), F.min("salt").alias("salt")
+    )
+    lf = fdict.select(
+        F.col("file_rank").alias("left_rank"), F.col("file_id").alias("left_id")
+    )
+    rf = fdict.select(
+        F.col("file_rank").alias("right_rank"), F.col("file_id").alias("right_id")
+    )
+    return (
+        deduped.join(ranked.select("key_rank", "block_key"), "key_rank")
+        .join(lf, "left_rank")
+        .join(rf, "right_rank")
+        .select("left_id", "right_id", "block_key", "salt")
     )

@@ -67,6 +67,45 @@ def test_exact_dup_star_shape(spark):
     )
 
 
+def test_dedup_is_hash_aggregate_and_min_key_matches_string_min(spark):
+    """The pair dedup must stay a whole-stage-codegen HashAggregate (min
+    over longs) — a min over the block_key STRING falls back to
+    SortAggregate, which double-sorts the O(bands × Σ block²) pre-dedup
+    union and dominated the blocking stage at sf0.25 — and the rank
+    indirection must still select exactly min(block_key) per pair."""
+    m = _membership(spark).persist()
+    pairs = blocking.candidate_pairs(m)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+    # independent recompute of min(block_key) straight from membership
+    l, r = m.alias("l"), m.alias("r")
+    naive = (
+        l.join(r, "block_key")
+        .filter(F.col("l.file_id") < F.col("r.file_id"))
+        .groupBy(
+            F.col("l.file_id").alias("left_id"),
+            F.col("r.file_id").alias("right_id"),
+        )
+        .agg(F.min("block_key").alias("block_key"))
+    )
+    assert _pairset(pairs) == _pairset(naive)
+
+
+def test_order_rank_preserves_string_order(spark):
+    """file_rank/key_rank comparisons must agree with string comparisons —
+    canonical pair orientation and the min-key selection both ride on it."""
+    m = _membership(spark)
+    fd = blocking._ranked_files(m)
+    rows = sorted(
+        (r["file_id"], r["file_rank"]) for r in fd.collect()
+    )
+    ranks = [rk for _, rk in rows]
+    assert ranks == sorted(ranks)
+    assert len(set(ranks)) == len(ranks)
+
+
 def test_rep_map_consistent_with_representatives(spark):
     src = spark.read.parquet(ensure_fixture(0.001))
     with_sig = blocking.with_lsh_columns(ingest(src)).persist()
