@@ -471,6 +471,31 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_latest_view(load_events(spark, sf_dir))
 
 
+QUANTILE_PS = [0.5, 0.9, 0.99]
+
+
+def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact value quantiles (p50/p90/p99) — the latency/
+    metric-distribution primitive of any telemetry rollup.
+
+    Exact ``percentile`` keeps the oracle comparable value-for-value
+    (both engines use the same linear interpolation on sorted doubles);
+    at 100 TB swap it for ``approx_percentile`` — a mergeable KLL-style
+    sketch with map-side partial aggregation, same single shuffle on
+    event_type, no global sort. The exact form here is also one shuffle:
+    Spark's percentile aggregates per group, never a global orderBy."""
+    ev = load_events(spark, sf_dir)
+    qs = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.percentile("value", F.lit(QUANTILE_PS)).alias("_q"),
+    )
+    cols = [
+        _r6(F.element_at("_q", i + 1)).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(QUANTILE_PS)
+    ]
+    return qs.select("event_type", "n_events", *cols)
+
+
 def _stage_stream_input(
     sf_dir: str, n_chunks: int = 3, sentinel: bool = False
 ) -> str:
@@ -593,6 +618,7 @@ QUERIES = {
     "evt_daily_rollup": q_evt_daily_rollup,
     "evt_sessionize": q_evt_sessionize,
     "evt_asof_join": q_evt_asof_join,
+    "evt_value_quantiles": q_evt_value_quantiles,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
 }
@@ -600,6 +626,16 @@ QUERIES = {
 
 def oracle_sqls() -> dict[str, str]:
     sql = {}
+    p_cols = ",\n       ".join(
+        f"round(quantile_cont(value, {p}), 6) + 0.0 AS p{int(p * 100)}"
+        for p in QUANTILE_PS
+    )
+    sql["evt_value_quantiles"] = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {p_cols}
+FROM events GROUP BY event_type"""
+
     sql["evt_windowed_rollup"] = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
        event_type,

@@ -340,6 +340,38 @@ def q_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (grouping sets): lineitem revenue by
+    (returnflag, linestatus) with per-flag subtotals and a grand total in
+    ONE pass. Spark expands grouping sets inside a single hash aggregate
+    (Expand → partial agg → one shuffle) — never one scan per level.
+    Subtotal rows surface their nulled keys as the 'ALL' sentinel
+    (identically in the DuckDB mirror; the data itself is never null),
+    keeping the hash comparison deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(_disc_price()).alias("_rev"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            # the grand total (~3e9 at sf0.01) exceeds what round(double, 6)
+            # can resolve (ULP ≈ 5e-7 at that magnitude: the two engines'
+            # float rounds landed 1 ulp apart) — round in exact DECIMAL
+            # first, then take the shared nearest-double of that one value
+            (F.round(F.col("_rev"), 6).cast("double") + F.lit(0.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -350,6 +382,7 @@ QUERIES = {
     "sql_small_qty_revenue": q_sql_small_qty_revenue,
     "sql_top_supplier": q_sql_top_supplier,
     "sql_big_orders": q_sql_big_orders,
+    "sql_rollup_cube": q_sql_rollup_cube,
 }
 
 
@@ -501,4 +534,12 @@ SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
 FROM big
 JOIN orders o ON big.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+    sql["sql_rollup_cube"] = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  count(*) AS n_items,
+  round(sum({_DISC_PRICE}), 6)::DOUBLE + 0.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
     return sql
