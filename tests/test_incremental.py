@@ -155,7 +155,14 @@ def test_cluster_representatives_column_contract(spark):
     """Medoid representatives must carry FEATURE_COLS + cluster_id exactly
     once; a duplicated cluster_id column makes any downstream
     select/groupBy on it raise AMBIGUOUS_REFERENCE."""
-    src = spark.read.parquet(ensure_fixture(0.001)).limit(120)
+    # orderBy before limit: a bare LIMIT over a parquet scan takes whichever
+    # partitions respond first, so the 120-row sample is scheduling-dependent
+    # (observed as a once-per-suite flake under heavy host contention)
+    src = (
+        spark.read.parquet(ensure_fixture(0.001))
+        .orderBy("repo", "path", "commit")
+        .limit(120)
+    )
     s = incremental.link_batch(None, src)
     reps = incremental.cluster_representatives(
         s.features, s.clusters, mode="medoid"
