@@ -121,7 +121,11 @@ def _order_rank(df: DataFrame, col: str, rank_col: str) -> DataFrame:
     per-partition seeds), then row_number within each partition — rank =
     (partition ordinal << 40) + row ordinal. Persisted because every
     dictionary here feeds ≥2 consumers in one plan; the persist freezes one
-    materialization so all consumers see identical ranks.
+    materialization so all consumers see identical ranks. Long-running
+    callers (per-batch incremental/streaming linkage) don't leak these:
+    Spark's ContextCleaner unpersists cached blocks once the batch's
+    DataFrames are garbage-collected (referenceTracking, on by default),
+    and MEMORY_AND_DISK evicts under pressure meanwhile.
     """
     w = Window.partitionBy("_pid").orderBy(col)
     return (
