@@ -28,10 +28,16 @@ Semantics carried over from Iceberg:
 - resume-if-done:   ``materialize`` re-reads the current snapshot
 - re-publish:       ``publish`` commits a NEW snapshot; old ones stay
                     readable (snapshot isolation for concurrent readers)
+- fast-append:      ``append`` commits a snapshot that REFERENCES the
+                    parent's data dirs plus one new delta dir — old data
+                    is never rewritten, the commit cost is O(delta)
+                    (Iceberg's append manifest-list shape)
 - time travel:      ``read_as_of(stage, snapshot_id)``
 - schema evolution: each snapshot records (and serves) its own schema
-- expiration:       ``expire_snapshots(stage, keep_last=k)`` deletes old
-                    data files; the log keeps the lineage rows
+- expiration:       ``expire_snapshots(stage, keep_last=k)`` deletes data
+                    dirs no surviving snapshot references (appends share
+                    dirs, so expiration is reference-counted); the log
+                    keeps the lineage rows
 
 On a real deployment these tables are Iceberg and this module is replaced
 by the catalog; parquet + JSONL keeps the sandbox dependency-free while
@@ -92,6 +98,13 @@ class StageWriter:
     def _snap_path(self, stage: str, snapshot_id: int) -> str:
         return os.path.join(self.dir, stage, f"snap-{snapshot_id:06d}")
 
+    def _data_dirs(self, stage: str, rec: dict) -> list[str]:
+        """Absolute data dirs of a snapshot. Overwrite snapshots own one
+        dir; append snapshots reference their parent's dirs + one delta
+        dir (recorded relative in the manifest for portability)."""
+        rel = rec.get("data_dirs") or [f"snap-{rec['snapshot_id']:06d}"]
+        return [os.path.join(self.dir, stage, d) for d in rel]
+
     def _append_line(self, rec: dict) -> None:
         """Append one manifest line; if a previous append tore mid-line
         (crash without trailing newline), start on a fresh line so the
@@ -121,8 +134,10 @@ class StageWriter:
         cur = self.current_snapshot(stage)
         if cur is None:
             return False
+        # the snapshot's OWN write is the last data dir (appends reference
+        # parent dirs first, then their delta)
         return os.path.exists(
-            os.path.join(self._snap_path(stage, cur["snapshot_id"]), "_SUCCESS")
+            os.path.join(self._data_dirs(stage, cur)[-1], "_SUCCESS")
         )
 
     def manifest(self) -> list[dict]:
@@ -150,7 +165,7 @@ class StageWriter:
                     raise SnapshotNotFound(
                         f"snapshot {snapshot_id} of stage {stage!r} was expired"
                     )
-                return self.spark.read.parquet(self._snap_path(stage, snapshot_id))
+                return self.spark.read.parquet(*self._data_dirs(stage, rec))
         raise SnapshotNotFound(
             f"stage {stage!r} has no snapshot {snapshot_id} in the log"
         )
@@ -164,23 +179,14 @@ class StageWriter:
             self.publish(stage, build())
         return self.read(stage)
 
-    def publish(self, stage: str, df: DataFrame, operation: str = "overwrite") -> dict:
-        """Commit ``df`` as a NEW immutable snapshot of ``stage`` and return
-        its manifest row. Prior snapshots remain readable via
-        ``read_as_of`` until expired — a re-publish never mutates data a
-        concurrent reader may hold (snapshot isolation)."""
+    def _write_stats(self, path: str) -> tuple[DataFrame, dict]:
+        """Per-partition lineage + skew metrics of one written dir
+        (north-rule: every stage records enough to spot a hot partition
+        without re-running): one tiny aggregate over spark_partition_id
+        per commit."""
         from pyspark.sql import functions as F
 
-        cur = self.current_snapshot(stage)
-        snapshot_id = (cur["snapshot_id"] + 1) if cur else 1
-        path = self._snap_path(stage, snapshot_id)
-
-        t0 = time.monotonic()
-        df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        # per-partition lineage + skew metrics (north-rule: every stage
-        # records enough to spot a hot partition without re-running):
-        # one tiny aggregate over spark_partition_id per commit
         pstats = (
             out.groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count("*").alias("n"))
@@ -198,15 +204,9 @@ class StageWriter:
             if pstats["p_mean"]
             else 1.0
         )
-        rec = {
-            "run_id": self.run_id,
-            "stage": stage,
-            "snapshot_id": snapshot_id,
-            "parent_snapshot_id": cur["snapshot_id"] if cur else None,
-            "operation": operation,
-            "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in out.schema],
+        return out, {
             "rows": pstats["rows"] or 0,
-            # total partitions of the written table; the skew stats
+            # total partitions of the written dir; the skew stats
             # below see only non-empty ones (groupBy drops empties)
             "n_partitions": out.rdd.getNumPartitions(),
             "n_nonempty_partitions": pstats["parts"],
@@ -216,6 +216,29 @@ class StageWriter:
                 "mean": round(float(pstats["p_mean"] or 0.0), 1),
             },
             "skew_max_over_mean": round(skew, 3),
+        }
+
+    def publish(self, stage: str, df: DataFrame, operation: str = "overwrite") -> dict:
+        """Commit ``df`` as a NEW immutable snapshot of ``stage`` and return
+        its manifest row. Prior snapshots remain readable via
+        ``read_as_of`` until expired — a re-publish never mutates data a
+        concurrent reader may hold (snapshot isolation)."""
+        cur = self.current_snapshot(stage)
+        snapshot_id = (cur["snapshot_id"] + 1) if cur else 1
+        path = self._snap_path(stage, snapshot_id)
+
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(path)
+        out, stats = self._write_stats(path)
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"] if cur else None,
+            "operation": operation,
+            "data_dirs": [os.path.basename(path)],
+            "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in out.schema],
+            **stats,
             "wall_s": round(time.monotonic() - t0, 3),
             "finished_utc_ns": time.time_ns(),
         }
@@ -225,24 +248,75 @@ class StageWriter:
         self._log.setdefault(stage, []).append(rec)
         return rec
 
+    def append(self, stage: str, df: DataFrame) -> dict:
+        """Iceberg fast-append: commit a snapshot whose data = the parent
+        snapshot's dirs + ONE new delta dir. Old data is never rewritten
+        or re-scanned — commit cost (write + stats) is O(delta rows) —
+        and the parent snapshot stays readable as-of, sharing the same
+        dirs. The delta must match the current schema exactly; schema
+        evolution goes through ``publish`` (an overwrite snapshot), as in
+        Iceberg where appends conform to the table's current schema."""
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            return self.publish(stage, df, operation="append")
+        schema = [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema]
+        if schema != cur["schema"]:
+            raise ValueError(
+                f"append schema {schema} != current snapshot schema "
+                f"{cur['schema']}; use publish() to evolve the schema"
+            )
+        snapshot_id = cur["snapshot_id"] + 1
+        path = self._snap_path(stage, snapshot_id)
+
+        t0 = time.monotonic()
+        df.write.mode("overwrite").parquet(path)
+        _, stats = self._write_stats(path)
+        delta_rows = stats.pop("rows")
+        parent_dirs = cur.get("data_dirs") or [f"snap-{cur['snapshot_id']:06d}"]
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"],
+            "operation": "fast-append",
+            "data_dirs": [*parent_dirs, os.path.basename(path)],
+            "schema": cur["schema"],
+            "rows": cur["rows"] + delta_rows,
+            "delta_rows": delta_rows,
+            **stats,  # partition/skew metrics of the DELTA write
+            "wall_s": round(time.monotonic() - t0, 3),
+            "finished_utc_ns": time.time_ns(),
+        }
+        self._append_line(rec)
+        self._log.setdefault(stage, []).append(rec)
+        return rec
+
     # -- maintenance -------------------------------------------------------
 
     def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[int]:
-        """Delete the data files of all but the newest ``keep_last``
-        snapshots (Iceberg's expire_snapshots). Lineage rows stay in the
-        log, flagged ``expired`` via a tombstone commit line so readers get
-        a clear error instead of a missing-path stack trace."""
+        """Expire all but the newest ``keep_last`` snapshots (Iceberg's
+        expire_snapshots). Data dirs are reference-counted: append
+        snapshots SHARE their parent's dirs, so only dirs no surviving
+        snapshot references are deleted. Lineage rows stay in the log,
+        flagged ``expired`` via a tombstone commit line so readers get a
+        clear error instead of a missing-path stack trace."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1: the current snapshot is live")
         log = self._log.get(stage, [])
+        live_dirs = {
+            d
+            for rec in log[-keep_last:]
+            if not rec.get("expired")
+            for d in self._data_dirs(stage, rec)
+        }
         expired: list[int] = []
         for rec in log[:-keep_last]:
             if rec.get("expired"):
                 continue
             rec["expired"] = True
-            shutil.rmtree(
-                self._snap_path(stage, rec["snapshot_id"]), ignore_errors=True
-            )
+            for d in self._data_dirs(stage, rec):
+                if d not in live_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
             self._append_line(
                 {
                     "run_id": self.run_id,

@@ -132,6 +132,57 @@ def test_torn_manifest_tail_is_ignored(spark, tmp_path):
     assert w3.current_snapshot("u")["snapshot_id"] == 1
 
 
+def test_fast_append_shares_parent_dirs_and_time_travels(spark, tmp_path):
+    """Appends commit O(delta): the new snapshot references the parent's
+    data dirs + one delta dir, the parent stays readable as-of, and row
+    accounting tracks totals + deltas."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,), (2,)], ["id"]))
+    rec = w.append("t", _df(spark, [(3,)], ["id"]))
+
+    assert rec["operation"] == "fast-append"
+    assert rec["data_dirs"] == ["snap-000001", "snap-000002"]
+    assert rec["rows"] == 3 and rec["delta_rows"] == 1
+
+    assert {r["id"] for r in w.read("t").collect()} == {1, 2, 3}
+    assert {r["id"] for r in w.read_as_of("t", 1).collect()} == {1, 2}
+
+    # survives a restart (dirs resolved from the manifest alone)
+    w2 = StageWriter(spark, str(tmp_path), "r1")
+    assert {r["id"] for r in w2.read("t").collect()} == {1, 2, 3}
+
+    # appends conform to the current schema; evolution goes through publish
+    with pytest.raises(ValueError):
+        w2.append("t", _df(spark, [(4, "x")], ["id", "v"]))
+
+    # append on an empty stage degrades to the table-creating snapshot
+    rec0 = w2.append("fresh", _df(spark, [(9,)], ["id"]))
+    assert rec0["snapshot_id"] == 1 and rec0["operation"] == "append"
+
+
+def test_expire_is_reference_counted_across_appends(spark, tmp_path):
+    """Expiring an overwrite snapshot whose dir a LIVE append still
+    references must not delete that dir; once no survivor references it,
+    it goes."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,)], ["id"]))          # snap-1
+    w.append("t", _df(spark, [(2,)], ["id"]))           # snap-2 = dirs {1,2}
+    w.append("t", _df(spark, [(3,)], ["id"]))           # snap-3 = dirs {1,2,3}
+
+    assert w.expire_snapshots("t", keep_last=1) == [1, 2]
+    # snapshot 3 still reads ALL rows — dirs 1 and 2 were shared, not deleted
+    assert {r["id"] for r in w.read("t").collect()} == {1, 2, 3}
+    with pytest.raises(SnapshotNotFound):
+        w.read_as_of("t", 1)
+
+    # an overwrite releases the old dirs; expiring then deletes them
+    w.publish("t", _df(spark, [(7,)], ["id"]))          # snap-4, own dir
+    assert w.expire_snapshots("t", keep_last=1) == [3]
+    stage_dir = os.path.join(str(tmp_path), "r1", "t")
+    assert sorted(os.listdir(stage_dir)) == ["snap-000004"]
+    assert {r["id"] for r in w.read("t").collect()} == {7}
+
+
 def test_materialize_resumes_from_current_snapshot(spark, tmp_path):
     w = StageWriter(spark, str(tmp_path), "r1")
     calls = {"n": 0}
