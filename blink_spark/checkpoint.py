@@ -32,6 +32,13 @@ Semantics carried over from Iceberg:
                     parent's data dirs plus one new delta dir — old data
                     is never rewritten, the commit cost is O(delta)
                     (Iceberg's append manifest-list shape)
+- merge (upsert):   ``merge(stage, source, key_cols)`` — copy-on-write
+                    row-level MERGE: only data dirs containing a matched
+                    key are rewritten; untouched dirs are re-referenced
+                    unchanged (Iceberg's CoW MERGE INTO at file
+                    granularity)
+- delete:           ``delete_where(stage, condition)`` — CoW row-level
+                    delete with the same touched-dir pruning
 - time travel:      ``read_as_of(stage, snapshot_id)``
 - schema evolution: each snapshot records (and serves) its own schema
 - expiration:       ``expire_snapshots(stage, keep_last=k)`` deletes data
@@ -284,6 +291,148 @@ class StageWriter:
             "rows": cur["rows"] + delta_rows,
             "delta_rows": delta_rows,
             **stats,  # partition/skew metrics of the DELTA write
+            "wall_s": round(time.monotonic() - t0, 3),
+            "finished_utc_ns": time.time_ns(),
+        }
+        self._append_line(rec)
+        self._log.setdefault(stage, []).append(rec)
+        return rec
+
+    # -- row-level writes (copy-on-write) -----------------------------------
+
+    def _schema_of(self, df: DataFrame) -> list[str]:
+        return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema]
+
+    def _touched_dirs(self, stage: str, cur: dict, probe) -> list[str]:
+        """Dir basenames of ``cur`` whose files contain ≥1 row selected by
+        ``probe`` (a fn DataFrame→DataFrame). One key/predicate-column-only
+        parquet scan — column pruning keeps it cheap relative to the
+        rewrite; real Iceberg prunes further with per-file column stats."""
+        from pyspark.sql import functions as F
+
+        target = self.spark.read.parquet(*self._data_dirs(stage, cur))
+        dir_col = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        hits = probe(target.withColumn("__dir", dir_col))
+        return [r["__dir"] for r in hits.select("__dir").distinct().collect()]
+
+    def merge(self, stage: str, source: DataFrame, key_cols: list[str]) -> dict:
+        """Row-level MERGE (upsert), Iceberg ``MERGE INTO ... WHEN MATCHED
+        THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` with copy-on-
+        write: target rows whose ``key_cols`` match a source row are
+        replaced by that source row, unmatched source rows are inserted,
+        and ONLY data dirs containing a matched key are rewritten — every
+        untouched dir is referenced unchanged by the new snapshot, so the
+        commit cost is O(touched + delta), not O(table). The parent
+        snapshot stays readable as-of (snapshot isolation). The source
+        must be key-unique (Iceberg's MERGE cardinality check) and match
+        the current schema (evolution goes through ``publish``)."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            return self.publish(stage, source, operation="merge")
+        schema = self._schema_of(source)
+        if schema != cur["schema"]:
+            raise ValueError(
+                f"merge source schema {schema} != current snapshot schema "
+                f"{cur['schema']}; use publish() to evolve the schema"
+            )
+        card = source.agg(
+            F.count("*").alias("n"),
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"),
+        ).collect()[0]
+        if card["n"] != card["d"]:
+            raise ValueError(
+                f"merge source has {card['n'] - card['d']} duplicate "
+                f"key rows on {key_cols} — a target row would match more "
+                "than one source row (Iceberg cardinality violation)"
+            )
+        src_rows = card["n"]
+        keys = source.select(*key_cols)
+        touched = self._touched_dirs(
+            stage, cur,
+            lambda t: t.select("__dir", *key_cols).join(keys, key_cols, "left_semi"),
+        )
+        parent_rel = cur.get("data_dirs") or [f"snap-{cur['snapshot_id']:06d}"]
+        untouched_rel = [d for d in parent_rel if d not in set(touched)]
+        colnames = [s.split(":", 1)[0] for s in cur["schema"]]
+
+        snapshot_id = cur["snapshot_id"] + 1
+        path = self._snap_path(stage, snapshot_id)
+        t0 = time.monotonic()
+        if touched:
+            touched_abs = [os.path.join(self.dir, stage, d) for d in touched]
+            old = self.spark.read.parquet(*touched_abs)
+            touched_total = old.count()
+            new_df = old.join(keys, key_cols, "left_anti").unionByName(source)
+        else:
+            touched_total = 0
+            new_df = source
+        new_df.select(*colnames).write.mode("overwrite").parquet(path)
+        _, stats = self._write_stats(path)
+        delta_rows = stats.pop("rows")
+        updated = touched_total - (delta_rows - src_rows)
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"],
+            "operation": "merge",
+            "data_dirs": [*untouched_rel, os.path.basename(path)],
+            "schema": cur["schema"],
+            "rows": cur["rows"] - touched_total + delta_rows,
+            "delta_rows": delta_rows,
+            "merge_updated": updated,
+            "merge_inserted": src_rows - updated,
+            "rewritten_dirs": len(touched),
+            **stats,  # partition/skew metrics of the rewritten delta
+            "wall_s": round(time.monotonic() - t0, 3),
+            "finished_utc_ns": time.time_ns(),
+        }
+        self._append_line(rec)
+        self._log.setdefault(stage, []).append(rec)
+        return rec
+
+    def delete_where(self, stage: str, condition: str) -> dict:
+        """Row-level DELETE with copy-on-write: dirs containing ≥1 row
+        matching ``condition`` (a SQL boolean expression) are rewritten
+        without those rows; untouched dirs are re-referenced. A delete
+        matching nothing is a no-op (no new snapshot), as in Iceberg."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            raise SnapshotNotFound(f"stage {stage!r} has no committed snapshot")
+        cond = F.expr(condition)
+        touched = self._touched_dirs(stage, cur, lambda t: t.filter(cond))
+        if not touched:
+            return cur
+        parent_rel = cur.get("data_dirs") or [f"snap-{cur['snapshot_id']:06d}"]
+        untouched_rel = [d for d in parent_rel if d not in set(touched)]
+        colnames = [s.split(":", 1)[0] for s in cur["schema"]]
+
+        snapshot_id = cur["snapshot_id"] + 1
+        path = self._snap_path(stage, snapshot_id)
+        t0 = time.monotonic()
+        touched_abs = [os.path.join(self.dir, stage, d) for d in touched]
+        old = self.spark.read.parquet(*touched_abs)
+        touched_total = old.count()
+        old.filter(~cond).select(*colnames).write.mode("overwrite").parquet(path)
+        _, stats = self._write_stats(path)
+        delta_rows = stats.pop("rows")
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"],
+            "operation": "delete",
+            "data_dirs": [*untouched_rel, os.path.basename(path)],
+            "schema": cur["schema"],
+            "rows": cur["rows"] - touched_total + delta_rows,
+            "delta_rows": delta_rows,
+            "deleted_rows": touched_total - delta_rows,
+            "rewritten_dirs": len(touched),
+            **stats,
             "wall_s": round(time.monotonic() - t0, 3),
             "finished_utc_ns": time.time_ns(),
         }

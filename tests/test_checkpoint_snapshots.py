@@ -195,3 +195,86 @@ def test_materialize_resumes_from_current_snapshot(spark, tmp_path):
     w.materialize("t", build)  # resume: no rebuild
     assert calls["n"] == 1
     assert w.manifest()[0]["snapshot_id"] == 1
+
+
+def test_merge_upserts_and_rewrites_only_touched_dirs(spark, tmp_path):
+    """Copy-on-write MERGE: matched rows replaced, unmatched source rows
+    inserted, and a data dir containing no matched key is re-referenced
+    byte-identical (never rewritten)."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "a"), (2, "b")], ["id", "v"]))   # snap-1
+    w.append("t", _df(spark, [(3, "c"), (4, "d")], ["id", "v"]))    # snap-2
+
+    base_dir = os.path.join(str(tmp_path), "r1", "t", "snap-000001")
+    before = {f: os.path.getmtime(os.path.join(base_dir, f))
+              for f in os.listdir(base_dir)}
+
+    # keys 3 (update) and 5 (insert) live only in the snap-2 delta dir
+    rec = w.merge("t", _df(spark, [(3, "C"), (5, "e")], ["id", "v"]), ["id"])
+
+    assert rec["operation"] == "merge"
+    assert rec["merge_updated"] == 1 and rec["merge_inserted"] == 1
+    assert rec["rewritten_dirs"] == 1
+    assert rec["rows"] == 5
+    assert "snap-000001" in rec["data_dirs"]  # untouched dir re-referenced
+    after = {f: os.path.getmtime(os.path.join(base_dir, f))
+             for f in os.listdir(base_dir)}
+    assert after == before  # base dir bytes never touched
+
+    got = {(r["id"], r["v"]) for r in w.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d"), (5, "e")}
+    # parent snapshot unchanged (snapshot isolation)
+    old = {(r["id"], r["v"]) for r in w.read_as_of("t", 2).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+    # log + data survive a restart
+    w2 = StageWriter(spark, str(tmp_path), "r1")
+    assert {(r["id"], r["v"]) for r in w2.read("t").collect()} == got
+
+
+def test_merge_guards_cardinality_and_schema(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "a")], ["id", "v"]))
+    with pytest.raises(ValueError, match="cardinality"):
+        w.merge("t", _df(spark, [(1, "x"), (1, "y")], ["id", "v"]), ["id"])
+    with pytest.raises(ValueError, match="schema"):
+        w.merge("t", _df(spark, [(1, "x", 0)], ["id", "v", "extra"]), ["id"])
+    # merge into an empty stage is the table-creating insert
+    rec = w.merge("fresh", _df(spark, [(9, "z")], ["id", "v"]), ["id"])
+    assert rec["snapshot_id"] == 1 and rec["operation"] == "merge"
+
+
+def test_delete_where_cow_and_noop(spark, tmp_path):
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "a"), (2, "b")], ["id", "v"]))   # snap-1
+    w.append("t", _df(spark, [(3, "c"), (4, "d")], ["id", "v"]))    # snap-2
+
+    rec = w.delete_where("t", "id = 3")
+    assert rec["operation"] == "delete"
+    assert rec["deleted_rows"] == 1 and rec["rows"] == 3
+    assert rec["rewritten_dirs"] == 1
+    assert "snap-000001" in rec["data_dirs"]
+    assert {r["id"] for r in w.read("t").collect()} == {1, 2, 4}
+    # time travel still sees the deleted row
+    assert {r["id"] for r in w.read_as_of("t", 2).collect()} == {1, 2, 3, 4}
+
+    # a delete matching nothing commits no new snapshot (Iceberg no-op)
+    cur_before = w.current_snapshot("t")["snapshot_id"]
+    noop = w.delete_where("t", "id = 999")
+    assert noop["snapshot_id"] == cur_before
+    assert w.current_snapshot("t")["snapshot_id"] == cur_before
+
+
+def test_expire_is_reference_counted_across_merges(spark, tmp_path):
+    """A merge's new snapshot shares the untouched dirs with its parent;
+    expiring the parent must not delete dirs the merge still references."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1, "a"), (2, "b")], ["id", "v"]))   # snap-1
+    w.append("t", _df(spark, [(3, "c")], ["id", "v"]))              # snap-2
+    w.merge("t", _df(spark, [(3, "C")], ["id", "v"]), ["id"])       # snap-3
+
+    assert w.expire_snapshots("t", keep_last=1) == [1, 2]
+    # snap-3 references snap-1's dir (untouched by the merge) — still whole
+    assert {(r["id"], r["v"]) for r in w.read("t").collect()} == {
+        (1, "a"), (2, "b"), (3, "C")
+    }
