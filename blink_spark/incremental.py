@@ -247,3 +247,71 @@ def compact_state(state: LinkState, mode: str = "medoid") -> LinkState:
     """
     reps = cluster_representatives(state.features, state.clusters, mode)
     return LinkState(features=reps.select(*FEATURE_COLS), clusters=state.clusters)
+
+
+class SnapshotLinkStore:
+    """Durable incremental-link state on the Iceberg-semantics snapshot
+    layer (blink_spark.checkpoint.StageWriter) — the KBP loop's persistent
+    KB (``scripts/kbp_simulation.py:316-366``) as table commits instead of
+    pickle files.
+
+    Per-batch commit shape, sized to the DELTA rather than the table:
+
+    - ``link_features``  — Iceberg fast-APPEND of the new batch's feature
+      rows (old feature data is never rewritten or re-scanned);
+    - ``link_clusters``  — copy-on-write MERGE keyed on ``file_id`` whose
+      source is ONLY the changed assignment rows (new files + files whose
+      cluster merged), so just the data dirs holding a reassigned file are
+      rewritten.
+
+    ``load()`` after a restart returns the committed state; a crash
+    between the two commits is healed on the next commit because the
+    cluster MERGE re-ships every assignment that differs from the last
+    committed snapshot (feature appends are keyed by batch content and a
+    replayed batch re-derives identical rows — same idempotence contract
+    as blink_spark.streaming).
+    """
+
+    FEATURES = "link_features"
+    CLUSTERS = "link_clusters"
+
+    def __init__(self, writer):
+        self.writer = writer
+
+    def load(self) -> LinkState | None:
+        """The last committed state, or None before the first commit."""
+        from blink_spark.checkpoint import SnapshotNotFound
+
+        try:
+            return LinkState(
+                features=self.writer.read(self.FEATURES),
+                clusters=self.writer.read(self.CLUSTERS),
+            )
+        except SnapshotNotFound:
+            return None
+
+    def commit_batch(
+        self, prior: LinkState | None, new_features: DataFrame, state: LinkState
+    ) -> dict:
+        """Commit one linked batch; returns the clusters manifest row."""
+        feats = new_features.select(*FEATURE_COLS)
+        if self.writer.current_snapshot(self.FEATURES) is None:
+            self.writer.publish(self.FEATURES, feats, operation="append")
+        else:
+            self.writer.append(self.FEATURES, feats)
+        if prior is None or self.writer.current_snapshot(self.CLUSTERS) is None:
+            return self.writer.publish(self.CLUSTERS, state.clusters)
+        changed = state.clusters.join(
+            prior.clusters, ["file_id", "cluster_id"], "left_anti"
+        )
+        return self.writer.merge(self.CLUSTERS, changed, ["file_id"])
+
+    def link_and_commit(self, new_source: DataFrame, **kw) -> LinkState:
+        """One resumable KBP step: load → link the raw batch → commit.
+        Returns the POST-commit state re-read from the snapshots, so the
+        caller's lineage is the committed table, not the in-session DAG."""
+        prior = self.load()
+        new_feat = batch_features(new_source).persist()
+        state = link_features(prior, new_feat, **kw)
+        self.commit_batch(prior, new_feat, state)
+        return self.load()

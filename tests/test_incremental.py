@@ -176,3 +176,41 @@ def test_cluster_representatives_column_contract(spark):
         == reps.count()
         == s.clusters.select("cluster_id").distinct().count()
     )
+
+
+def test_snapshot_link_store_resumes_across_restart(spark, tmp_path):
+    """KBP state as snapshot tables: batch 1 committed, process 'restarts'
+    (fresh StageWriter over the same dir), batch 2 linked from the LOADED
+    state — final clusters equal the one-shot run, features were
+    fast-appended (delta only), and the cluster commit was a CoW MERGE
+    that shipped only changed assignments."""
+    from blink_spark.checkpoint import StageWriter
+    from blink_spark.incremental import SnapshotLinkStore
+
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    one_shot = _canon(run_pipeline(spark, src)["clusters"])
+    b1 = src.filter(F.pmod(F.xxhash64("commit"), F.lit(2)) == 0).persist()
+    b2 = src.filter(F.pmod(F.xxhash64("commit"), F.lit(2)) == 1).persist()
+
+    store1 = SnapshotLinkStore(StageWriter(spark, str(tmp_path), "kbp"))
+    store1.link_and_commit(b1)
+
+    # restart: a brand-new writer loads the committed snapshots from disk
+    store2 = SnapshotLinkStore(StageWriter(spark, str(tmp_path), "kbp"))
+    final = store2.link_and_commit(b2)
+    assert _canon(final.clusters) == one_shot
+
+    flog = store2.writer.snapshots(SnapshotLinkStore.FEATURES)
+    assert [r["operation"] for r in flog] == ["append", "fast-append"]
+    assert flog[-1]["delta_rows"] == b2.count()
+    assert flog[-1]["rows"] == src.count()
+
+    clog = store2.writer.snapshots(SnapshotLinkStore.CLUSTERS)
+    assert [r["operation"] for r in clog] == ["overwrite", "merge"]
+    m = clog[-1]
+    # every batch-2 file is a fresh assignment row (insert); and batch 2
+    # bridges batch-1 clusters, so the merge must also UPDATE existing
+    # assignments, not just insert the new files
+    assert m["merge_inserted"] == b2.count()
+    assert m["merge_updated"] > 0
+    assert m["rows"] == src.count()
