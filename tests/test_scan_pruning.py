@@ -61,3 +61,55 @@ def test_predicate_and_projection_reach_parquet_scan(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "user_id" in read_schema and "value" in read_schema
     assert "ts" not in read_schema
+
+
+def test_merge_touched_dir_probe_reads_only_key_columns(spark, tmp_path):
+    """The CoW MERGE's touched-dir discovery scans the whole target — at
+    100 TB that is only acceptable if column pruning shrinks the probe to
+    the key columns (real Iceberg prunes further with per-file stats).
+    Pin ReadSchema of the probe scan to the key column alone."""
+    from blink_spark.checkpoint import StageWriter
+
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish(
+        "t",
+        spark.createDataFrame(
+            [(i, "v" * 50, float(i)) for i in range(100)], ["id", "payload", "x"]
+        ),
+    )
+    cur = w.current_snapshot("t")
+    keys = spark.createDataFrame([(3,), (7,)], ["id"])
+    probe_plans: list[str] = []
+
+    orig = w._touched_dirs
+
+    def capture(stage, rec, probe):
+        target = spark.read.parquet(*w._data_dirs(stage, rec))
+        dir_col = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        hits = probe(target.withColumn("__dir", dir_col))
+        probe_plans.append(
+            hits.select("__dir").distinct()._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        return orig(stage, rec, probe)
+
+    w._touched_dirs = capture
+    rec = w.merge(
+        "t",
+        spark.createDataFrame([(3, "new", 0.0), (999, "ins", 1.0)],
+                              ["id", "payload", "x"]),
+        ["id"],
+    )
+    assert rec["merge_updated"] == 1 and rec["merge_inserted"] == 1
+
+    (plan,) = probe_plans
+    # the probe's scan of the TARGET must read only the key column —
+    # never payload/x (the dir name comes from input_file_name metadata)
+    target_schemas = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "struct<" in seg.splitlines()[0]
+    ]
+    assert any("struct<id:" in s and "payload" not in s and "x:" not in s
+               for s in target_schemas), target_schemas
+    assert all("payload" not in s for s in target_schemas), target_schemas
