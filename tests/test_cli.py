@@ -70,3 +70,37 @@ def test_link_batch_empty_batch_fails_loudly(spark, tmp_path, capsys):
     assert rc == 2
     assert "empty" in captured.err
     assert captured.out.strip() == ""  # no stale stats printed
+
+
+def test_spark_submit_py_files_runs_pipeline(tmp_path):
+    """North-rule launch path: `spark-submit --py-files <pkg.zip>
+    blink_spark/cli.py run ...` must execute the full pipeline in a
+    SEPARATE driver JVM with the package shipped via the zip (no repo
+    sys.path tricks) and report F1=1.0 + an intact sha invariant."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    # the session factory (re)builds the zip on import
+    from blink_spark import session
+
+    zip_path = session._package_zip()
+    src = ensure_fixture(0.001)
+    out = subprocess.run(
+        [
+            submit, "--master", "local[4]", "--py-files", zip_path,
+            os.path.join(repo, "blink_spark", "cli.py"),
+            "run", "--source", src, "--out", str(tmp_path / "ck"),
+        ],
+        capture_output=True, text=True, timeout=540, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["metrics"]["f1"] == 1.0
+    assert rep["metrics"]["sha_invariant_violations"] == 0
+    assert rep["rows"] == 601
