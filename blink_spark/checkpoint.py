@@ -442,6 +442,24 @@ class StageWriter:
 
     # -- maintenance -------------------------------------------------------
 
+    def rewrite_data_files(self, stage: str, target_partitions: int | None = None) -> dict:
+        """Compaction (Iceberg's ``rewrite_data_files``): rewrite the
+        current snapshot's data — typically many small fast-append /
+        merge delta dirs — into ONE bin-packed dir and commit it as a new
+        snapshot with identical rows. Parents keep time-traveling until
+        expired; a stage already in one dir is a no-op. Pair with
+        ``expire_snapshots`` to actually reclaim the small files."""
+        cur = self.current_snapshot(stage)
+        if cur is None:
+            raise SnapshotNotFound(f"stage {stage!r} has no committed snapshot")
+        if len(cur.get("data_dirs") or [""]) <= 1:
+            return cur
+        df = self.read(stage)
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        rec = self.publish(stage, df, operation="rewrite")
+        return rec
+
     def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[int]:
         """Expire all but the newest ``keep_last`` snapshots (Iceberg's
         expire_snapshots). Data dirs are reference-counted: append

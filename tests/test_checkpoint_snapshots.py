@@ -278,3 +278,27 @@ def test_expire_is_reference_counted_across_merges(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in w.read("t").collect()} == {
         (1, "a"), (2, "b"), (3, "C")
     }
+
+
+def test_rewrite_data_files_compacts_append_chain(spark, tmp_path):
+    """Compaction: a chain of fast-append delta dirs collapses into one
+    bin-packed dir with identical rows; expiring then reclaims the small
+    dirs while the compacted snapshot stays whole."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(1,)], ["id"]))
+    for i in range(2, 5):
+        w.append("t", _df(spark, [(i,)], ["id"]))
+    assert len(w.current_snapshot("t")["data_dirs"]) == 4
+
+    rec = w.rewrite_data_files("t", target_partitions=1)
+    assert rec["operation"] == "rewrite"
+    assert len(rec["data_dirs"]) == 1
+    assert rec["rows"] == 4
+    assert {r["id"] for r in w.read("t").collect()} == {1, 2, 3, 4}
+    # already compact → no-op, no new snapshot
+    assert w.rewrite_data_files("t")["snapshot_id"] == rec["snapshot_id"]
+
+    w.expire_snapshots("t", keep_last=1)
+    stage_dir = os.path.join(str(tmp_path), "r1", "t")
+    assert os.listdir(stage_dir) == [f"snap-{rec['snapshot_id']:06d}"]
+    assert {r["id"] for r in w.read("t").collect()} == {1, 2, 3, 4}
