@@ -13,8 +13,10 @@ log whose last entry is the current table state):
     <dir>/<run_id>/manifest.jsonl         one line per COMMITTED snapshot:
         {run_id, stage, snapshot_id, parent_snapshot_id, operation,
          schema, rows, n_partitions, n_nonempty_partitions,
-         partition_rows{min,max,mean}, skew_max_over_mean, wall_s,
-         finished_utc_ns}
+         partition_rows{min,max,mean}, skew_max_over_mean,
+         dir_bounds{dir: {col: [min,max]}}  (lifted from parquet footers,
+         Iceberg's manifest column stats — drives merge min/max pruning),
+         wall_s, finished_utc_ns}
 
 Commit protocol (object-store safe, mirrors blink_spark.streaming): write
 the snapshot directory, let Spark drop the ``_SUCCESS`` marker, then append
@@ -63,6 +65,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 class SnapshotNotFound(LookupError):
     pass
+
+
+def _dir_column_bounds(path: str) -> dict[str, list]:
+    """Per-column [min, max] of one data dir, read from the parquet
+    footers Spark already wrote — no extra jobs (Iceberg lifts the same
+    stats into its manifest entries). Only top-level scalar columns with
+    JSON-representable stats are kept; anything else simply records no
+    bound (pruning stays conservative). Parquet writers keep truncated
+    string stats valid bounds (truncated max is incremented), and UTF-8
+    byte order equals code-point order, so Python comparisons against
+    these values are sound."""
+    import pyarrow.parquet as pq
+
+    bounds: dict[str, list] = {}
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                st = col.statistics
+                if st is None or not st.has_min_max or "." in col.path_in_schema:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (str, int, float, bool)):
+                    continue
+                cur = bounds.get(col.path_in_schema)
+                if cur is None:
+                    bounds[col.path_in_schema] = [lo, hi]
+                else:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+    return bounds
 
 
 class StageWriter:
@@ -244,6 +286,7 @@ class StageWriter:
             "parent_snapshot_id": cur["snapshot_id"] if cur else None,
             "operation": operation,
             "data_dirs": [os.path.basename(path)],
+            "dir_bounds": {os.path.basename(path): _dir_column_bounds(path)},
             "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in out.schema],
             **stats,
             "wall_s": round(time.monotonic() - t0, 3),
@@ -287,6 +330,10 @@ class StageWriter:
             "parent_snapshot_id": cur["snapshot_id"],
             "operation": "fast-append",
             "data_dirs": [*parent_dirs, os.path.basename(path)],
+            "dir_bounds": {
+                **(cur.get("dir_bounds") or {}),
+                os.path.basename(path): _dir_column_bounds(path),
+            },
             "schema": cur["schema"],
             "rows": cur["rows"] + delta_rows,
             "delta_rows": delta_rows,
@@ -303,17 +350,45 @@ class StageWriter:
     def _schema_of(self, df: DataFrame) -> list[str]:
         return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema]
 
-    def _touched_dirs(self, stage: str, cur: dict, probe) -> list[str]:
+    def _touched_dirs(
+        self, stage: str, cur: dict, probe, dirs: list[str] | None = None
+    ) -> list[str]:
         """Dir basenames of ``cur`` whose files contain ≥1 row selected by
         ``probe`` (a fn DataFrame→DataFrame). One key/predicate-column-only
-        parquet scan — column pruning keeps it cheap relative to the
-        rewrite; real Iceberg prunes further with per-file column stats."""
+        parquet scan over ``dirs`` (default: every dir of ``cur``) —
+        column pruning keeps it cheap relative to the rewrite, and merge
+        narrows ``dirs`` first via the manifest's footer-stat key bounds."""
         from pyspark.sql import functions as F
 
-        target = self.spark.read.parquet(*self._data_dirs(stage, cur))
+        if dirs is not None:
+            if not dirs:
+                return []
+            paths = [os.path.join(self.dir, stage, d) for d in dirs]
+        else:
+            paths = self._data_dirs(stage, cur)
+        target = self.spark.read.parquet(*paths)
         dir_col = F.element_at(F.split(F.input_file_name(), "/"), -2)
         hits = probe(target.withColumn("__dir", dir_col))
         return [r["__dir"] for r in hits.select("__dir").distinct().collect()]
+
+    @staticmethod
+    def _bounds_may_match(dir_bounds: dict | None, src_bounds: dict) -> bool:
+        """False only when some key column's [min,max] interval in the dir
+        is provably disjoint from the source keys' interval — the same
+        min/max pruning Iceberg does with manifest column stats. Missing
+        or incomparable bounds keep the dir (conservative)."""
+        if not dir_bounds:
+            return True
+        for col, (slo, shi) in src_bounds.items():
+            db = dir_bounds.get(col)
+            if db is None or slo is None or shi is None:
+                continue
+            try:
+                if shi < db[0] or slo > db[1]:
+                    return False
+            except TypeError:
+                continue
+        return True
 
     def merge(self, stage: str, source: DataFrame, key_cols: list[str]) -> dict:
         """Row-level MERGE (upsert), Iceberg ``MERGE INTO ... WHEN MATCHED
@@ -340,6 +415,8 @@ class StageWriter:
         card = source.agg(
             F.count("*").alias("n"),
             F.count_distinct(*[F.col(k) for k in key_cols]).alias("d"),
+            *[f for k in key_cols
+              for f in (F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}"))],
         ).collect()[0]
         if card["n"] != card["d"]:
             raise ValueError(
@@ -348,12 +425,22 @@ class StageWriter:
                 "than one source row (Iceberg cardinality violation)"
             )
         src_rows = card["n"]
+        src_bounds = {k: (card[f"lo_{k}"], card[f"hi_{k}"]) for k in key_cols}
+        parent_rel = cur.get("data_dirs") or [f"snap-{cur['snapshot_id']:06d}"]
+        # min/max pruning BEFORE the probe scan: a dir whose footer-stat
+        # key interval is disjoint from the source keys' interval cannot
+        # contain a match and is never read
+        all_bounds = cur.get("dir_bounds") or {}
+        candidates = [
+            d for d in parent_rel
+            if self._bounds_may_match(all_bounds.get(d), src_bounds)
+        ]
         keys = source.select(*key_cols)
         touched = self._touched_dirs(
             stage, cur,
             lambda t: t.select("__dir", *key_cols).join(keys, key_cols, "left_semi"),
+            dirs=candidates,
         )
-        parent_rel = cur.get("data_dirs") or [f"snap-{cur['snapshot_id']:06d}"]
         untouched_rel = [d for d in parent_rel if d not in set(touched)]
         colnames = [s.split(":", 1)[0] for s in cur["schema"]]
 
@@ -379,12 +466,17 @@ class StageWriter:
             "parent_snapshot_id": cur["snapshot_id"],
             "operation": "merge",
             "data_dirs": [*untouched_rel, os.path.basename(path)],
+            "dir_bounds": {
+                **{d: b for d, b in all_bounds.items() if d in set(untouched_rel)},
+                os.path.basename(path): _dir_column_bounds(path),
+            },
             "schema": cur["schema"],
             "rows": cur["rows"] - touched_total + delta_rows,
             "delta_rows": delta_rows,
             "merge_updated": updated,
             "merge_inserted": src_rows - updated,
             "rewritten_dirs": len(touched),
+            "probe_pruned_dirs": len(parent_rel) - len(candidates),
             **stats,  # partition/skew metrics of the rewritten delta
             "wall_s": round(time.monotonic() - t0, 3),
             "finished_utc_ns": time.time_ns(),
@@ -427,6 +519,14 @@ class StageWriter:
             "parent_snapshot_id": cur["snapshot_id"],
             "operation": "delete",
             "data_dirs": [*untouched_rel, os.path.basename(path)],
+            "dir_bounds": {
+                **{
+                    d: b
+                    for d, b in (cur.get("dir_bounds") or {}).items()
+                    if d in set(untouched_rel)
+                },
+                os.path.basename(path): _dir_column_bounds(path),
+            },
             "schema": cur["schema"],
             "rows": cur["rows"] - touched_total + delta_rows,
             "delta_rows": delta_rows,

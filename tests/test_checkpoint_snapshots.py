@@ -302,3 +302,38 @@ def test_rewrite_data_files_compacts_append_chain(spark, tmp_path):
     stage_dir = os.path.join(str(tmp_path), "r1", "t")
     assert os.listdir(stage_dir) == [f"snap-{rec['snapshot_id']:06d}"]
     assert {r["id"] for r in w.read("t").collect()} == {1, 2, 3, 4}
+
+
+def test_merge_minmax_prunes_disjoint_dirs_before_probe(spark, tmp_path):
+    """Iceberg-style manifest column stats: each commit lifts per-dir
+    [min,max] from the parquet footers, and a merge whose source keys are
+    provably disjoint from a dir's interval never reads that dir — on
+    range-clustered keys the probe scan is delta-local. Bounds survive the
+    JSON manifest round-trip (restart)."""
+    w = StageWriter(spark, str(tmp_path), "r1")
+    w.publish("t", _df(spark, [(i, "a") for i in range(100)], ["id", "v"]))
+    w.append("t", _df(spark, [(i, "b") for i in range(100, 200)], ["id", "v"]))
+    w.append("t", _df(spark, [(i, "c") for i in range(200, 300)], ["id", "v"]))
+
+    cur = w.current_snapshot("t")
+    assert cur["dir_bounds"]["snap-000001"]["id"] == [0, 99]
+    assert cur["dir_bounds"]["snap-000003"]["id"] == [200, 299]
+
+    # restart → bounds reloaded from the manifest, then a merge whose keys
+    # live entirely in the middle dir's range
+    w2 = StageWriter(spark, str(tmp_path), "r1")
+    rec = w2.merge(
+        "t", _df(spark, [(150, "B"), (160, "B2")], ["id", "v"]), ["id"]
+    )
+    assert rec["probe_pruned_dirs"] == 2     # dirs 1 and 3 never read
+    assert rec["rewritten_dirs"] == 1
+    assert rec["merge_updated"] == 2 and rec["merge_inserted"] == 0
+    assert rec["rows"] == 300
+    got = {r["v"] for r in w2.read("t").filter("id in (150, 160)").collect()}
+    assert got == {"B", "B2"}
+
+    # an out-of-range source prunes EVERY dir: no probe, pure insert
+    rec2 = w2.merge("t", _df(spark, [(999, "z")], ["id", "v"]), ["id"])
+    assert rec2["probe_pruned_dirs"] == 3
+    assert rec2["rewritten_dirs"] == 0
+    assert rec2["merge_inserted"] == 1 and rec2["rows"] == 301

@@ -83,7 +83,7 @@ def test_merge_touched_dir_probe_reads_only_key_columns(spark, tmp_path):
 
     orig = w._touched_dirs
 
-    def capture(stage, rec, probe):
+    def capture(stage, rec, probe, dirs=None):
         target = spark.read.parquet(*w._data_dirs(stage, rec))
         dir_col = F.element_at(F.split(F.input_file_name(), "/"), -2)
         hits = probe(target.withColumn("__dir", dir_col))
@@ -91,7 +91,7 @@ def test_merge_touched_dir_probe_reads_only_key_columns(spark, tmp_path):
             hits.select("__dir").distinct()._jdf.queryExecution()
             .executedPlan().toString()
         )
-        return orig(stage, rec, probe)
+        return orig(stage, rec, probe, dirs=dirs)
 
     w._touched_dirs = capture
     rec = w.merge(
