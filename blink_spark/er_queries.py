@@ -630,6 +630,82 @@ def q_blocking_recall(spark, sf_dir):
     )
 
 
+def q_reduction_ratio(spark, sf_dir):
+    """Blocking reduction ratio — the standard ER blocking-quality metric
+    next to pair completeness (= ``er_blocking_recall``): the fraction of
+    the all-pairs comparison space the blocker avoided. The reference
+    reports retrieval-vs-exhaustive trade-offs only implicitly (FAISS ANN
+    vs flat, ``blink/indexer/faiss_indexer.py:71-141``); this makes the
+    comparison-budget saving a first-class measurement.
+
+    Scale shape: three count aggregates over already-cached stages — no
+    new shuffle."""
+    ing = _ingested(spark, sf_dir)
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    pairs = _pairs(spark, sf_dir)
+    n_rec = ing.agg(F.count("*").cast("long").alias("n_records"))
+    n_rep = reps.agg(F.count("*").cast("long").alias("n_reps"))
+    n_cand = pairs.agg(F.count("*").cast("long").alias("n_candidate_pairs"))
+    return (
+        n_rec.crossJoin(n_rep)
+        .crossJoin(n_cand)
+        .withColumn(
+            "n_possible_pairs", F.expr("(n_reps * (n_reps - 1)) div 2")
+        )
+        .select(
+            "n_records",
+            "n_reps",
+            "n_possible_pairs",
+            "n_candidate_pairs",
+            _r6(
+                F.lit(1.0)
+                - F.col("n_candidate_pairs") / F.col("n_possible_pairs"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def q_bcubed(spark, sf_dir):
+    """B-cubed precision/recall/F1 of the final clustering against gold —
+    the canonical cluster-quality metric for entity resolution (per-record
+    precision = |C(r) ∩ G(r)| / |C(r)|, averaged; the cluster-level
+    counterpart of the reference's per-mention accuracy counting,
+    ``scripts/kbp_simulation.py:52-58``).
+
+    Computed from the (cluster, gold) contingency cells: precision =
+    Σ n_cg²/n_c / N and recall = Σ n_cg²/n_g / N — three combinable
+    aggregates plus two broadcast-sized joins on the cell table; nothing
+    touches pairs, so it costs O(records), not O(pairs²)."""
+    clusters = _clusters(spark, sf_dir)
+    gold = _ingested(spark, sf_dir).select("file_id", "gold_cluster")
+    asg = clusters.join(gold, "file_id")
+    cells = asg.groupBy("cluster_id", "gold_cluster").agg(
+        F.count("*").cast("double").alias("n_cg")
+    )
+    csz = asg.groupBy("cluster_id").agg(F.count("*").cast("double").alias("n_c"))
+    gsz = asg.groupBy("gold_cluster").agg(
+        F.count("*").cast("double").alias("n_g")
+    )
+    sums = (
+        cells.join(csz, "cluster_id")
+        .join(gsz, "gold_cluster")
+        .agg(
+            F.sum("n_cg").alias("n"),
+            F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_c")).alias("p_sum"),
+            F.sum(F.col("n_cg") * F.col("n_cg") / F.col("n_g")).alias("r_sum"),
+        )
+    )
+    p = F.col("p_sum") / F.col("n")
+    r = F.col("r_sum") / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_records"),
+        _r6(p, 6).alias("bcubed_precision"),
+        _r6(r, 6).alias("bcubed_recall"),
+        _r6(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — the independent recomputation
 # ---------------------------------------------------------------------------
@@ -979,6 +1055,45 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                     (SELECT count(*) FROM hit) AS n_hit,
                     (round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                           / (SELECT count(*) FROM pos), 6) + 0.0) AS recall""",
+        "er_reduction_ratio": c
+        + """SELECT n_records, n_reps, n_possible_pairs, n_candidate_pairs,
+               (round(1.0 - CAST(n_candidate_pairs AS DOUBLE)
+                     / n_possible_pairs, 6) + 0.0) AS reduction_ratio
+             FROM (
+               SELECT (SELECT count(*) FROM ing) AS n_records,
+                      (SELECT count(*) FROM reps) AS n_reps,
+                      (SELECT count(*) * (count(*) - 1) // 2 FROM reps)
+                        AS n_possible_pairs,
+                      (SELECT count(*) FROM pairs) AS n_candidate_pairs
+             )""",
+        "er_bcubed": c
+        + """, asg AS (
+               SELECT cl.file_id, cl.cluster_id, g.gold_cluster
+               FROM clusters cl JOIN ing g USING (file_id)
+             ),
+             cells AS (
+               SELECT cluster_id, gold_cluster, count(*)::DOUBLE AS n_cg
+               FROM asg GROUP BY 1, 2
+             ),
+             csz AS (
+               SELECT cluster_id, count(*)::DOUBLE AS n_c FROM asg GROUP BY 1
+             ),
+             gsz AS (
+               SELECT gold_cluster, count(*)::DOUBLE AS n_g FROM asg GROUP BY 1
+             ),
+             sums AS (
+               SELECT sum(n_cg) AS n,
+                      sum(n_cg * n_cg / n_c) AS p_sum,
+                      sum(n_cg * n_cg / n_g) AS r_sum
+               FROM cells JOIN csz USING (cluster_id)
+                          JOIN gsz USING (gold_cluster)
+             )
+             SELECT CAST(n AS BIGINT) AS n_records,
+               (round(p_sum / n, 6) + 0.0) AS bcubed_precision,
+               (round(r_sum / n, 6) + 0.0) AS bcubed_recall,
+               (round(2.0 * (p_sum / n) * (r_sum / n)
+                     / ((p_sum / n) + (r_sum / n)), 6) + 0.0) AS bcubed_f1
+             FROM sums""",
     }
 
 
@@ -1005,4 +1120,6 @@ QUERIES = {
     "er_feature_ablation": q_feature_ablation,
     "er_roc_curve": q_roc_curve,
     "er_score_hist": q_score_hist,
+    "er_reduction_ratio": q_reduction_ratio,
+    "er_bcubed": q_bcubed,
 }

@@ -393,6 +393,91 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
 
 TFIDF_TOP_K = 5
 
+# Per-stratum sampling rates for doc_stratified_sample (langs not listed
+# fall back to the default). Rates are encoded as 8-hex-digit thresholds so
+# membership is a plain string compare on a md5 prefix — identical bytes on
+# any engine, any partitioning, any cluster size.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 0.75}
+SAMPLE_DEFAULT_RATE = 0.2
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """Map a sampling rate in [0, 1] to the 8-hex-digit threshold such that
+    P(substr(md5(key),1,8) < threshold) = rate for a uniform hash."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep each document iff the first
+    8 hex chars of md5(doc_id ':' lang) fall below a per-language-stratum
+    threshold (the reference's class undersampling,
+    scripts/feature_ablation_study.py:938-967, generalized to corpus
+    subsampling).
+
+    Scale shape: ``df.sample()``'s output depends on the seed AND the
+    partitioning, so the same corpus sampled on 10 vs 1000 executors (or
+    after a repartition) yields different rows — unusable as a pipeline
+    contract. A hash-threshold sample is a pure per-row predicate: no
+    shuffle, pushdown-friendly, byte-identical on any engine at any
+    parallelism, and a superset/subset relation holds between any two
+    rates (rate 0.2 ⊂ rate 0.5), so samples can be widened without
+    resampling."""
+    docs = load_documents(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        1,
+        8,
+    )
+    thr = F.lit(_rate_threshold_hex(SAMPLE_DEFAULT_RATE))
+    rate = F.lit(float(SAMPLE_DEFAULT_RATE))
+    for lang in sorted(SAMPLE_RATES):
+        thr = F.when(
+            F.col("lang") == lang, F.lit(_rate_threshold_hex(SAMPLE_RATES[lang]))
+        ).otherwise(thr)
+        rate = F.when(
+            F.col("lang") == lang, F.lit(float(SAMPLE_RATES[lang]))
+        ).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            rate.cast("double").alias("rate"),
+            thr.alias("_thr"),
+        )
+        .filter(F.col("bucket") < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def q_doc_canonical_pick(spark, sf_dir):
+    """Canonical-document selection: within each near-duplicate cluster
+    (MinHash-LSH pairs → connected components) keep the single
+    highest-quality member (tie-break: lowest doc_id) — dedup that keeps
+    the BEST copy, not an arbitrary one (the per-entity argmax/medoid
+    pattern, scripts/kbp_simulation.py:229-251, applied to corpus dedup).
+
+    Scale shape: composition of already-scaling pieces — banded LSH pairs
+    (never all-pairs), large-star/small-star CC, one doc_id join against
+    the column-expression quality scores, one window shuffle on
+    cluster_id. Nothing new is quadratic."""
+    clusters = q_doc_dup_clusters(spark, sf_dir)
+    qual = q_doc_quality(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
+
 
 def q_doc_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-K terms per document — the corpus-statistics primitive
@@ -659,6 +744,72 @@ ranked AS (
 SELECT doc_id, rank, term, tf, df,
   round(tfidf_raw, 6) + 0.0 AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
+
+    thr_cases = " ".join(
+        f"WHEN '{lang}' THEN '{_rate_threshold_hex(SAMPLE_RATES[lang])}'"
+        for lang in sorted(SAMPLE_RATES)
+    )
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN {SAMPLE_RATES[lang]!r}::DOUBLE"
+        for lang in sorted(SAMPLE_RATES)
+    )
+    sql["doc_stratified_sample"] = f"""
+SELECT doc_id, lang, bucket, rate FROM (
+  SELECT doc_id, lang,
+    substr(md5(doc_id::VARCHAR || ':' || lang), 1, 8) AS bucket,
+    CASE lang {rate_cases} ELSE {SAMPLE_DEFAULT_RATE!r}::DOUBLE END AS rate,
+    CASE lang {thr_cases}
+      ELSE '{_rate_threshold_hex(SAMPLE_DEFAULT_RATE)}' END AS thr
+  FROM documents
+) WHERE bucket < thr"""
+
+    # quality mirror of oracle_sqls()["doc_quality"]'s score column only
+    qual_cte = f""",
+qual AS (
+  SELECT doc_id,
+    (round(1.0 / (1.0 + exp(-(-1.0 + 3.0*alpha_r + 2.0*stop_r - 4.0*digit_r))), 6)
+      + 0.0) AS quality
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(text) > 0 THEN
+        CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/len(text)
+        ELSE 0.0 END AS alpha_r,
+      CASE WHEN len(text) > 0 THEN
+        CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/len(text)
+        ELSE 0.0 END AS digit_r,
+      CASE WHEN len(tokens) > 0 THEN
+        CAST(len(list_filter(tokens, t -> list_contains([{stop_list}], t)))
+             AS DOUBLE)/len(tokens) ELSE 0.0 END AS stop_r
+    FROM docs
+  )
+)"""
+    sql["doc_canonical_pick"] = (
+        lsh_cte
+        + """,
+sym AS (
+  SELECT left_id AS src, right_id AS dst FROM nd_pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM nd_pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node
+),
+clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node)"""
+        + qual_cte
+        + """,
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+    row_number() OVER (
+      PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC
+    ) AS rnk,
+    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN qual q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc_id, quality, n_members
+FROM ranked WHERE rnk = 1"""
+    ).replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
     return sql
 
 
@@ -674,4 +825,6 @@ QUERIES = {
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_canonical_pick": q_doc_canonical_pick,
 }
