@@ -195,12 +195,43 @@ def candidate_pairs(
     O(pairs) result from the O(n) dictionaries — the J11 row-idx remap
     shape, same class as the scoring stage's per-side feature fetch.
     """
+    ranked = _ranked_census(membership)
+    fdict = _ranked_files(membership)
+    allp = _pair_block_rows(membership, ranked, fdict, block_cap)
+    deduped = allp.groupBy("left_rank", "right_rank").agg(
+        F.min("key_rank").alias("key_rank"), F.min("salt").alias("salt")
+    )
+    lf = fdict.select(
+        F.col("file_rank").alias("left_rank"), F.col("file_id").alias("left_id")
+    )
+    rf = fdict.select(
+        F.col("file_rank").alias("right_rank"), F.col("file_id").alias("right_id")
+    )
+    return (
+        deduped.join(ranked.select("key_rank", "block_key"), "key_rank")
+        .join(lf, "left_rank")
+        .join(rf, "right_rank")
+        .select("left_id", "right_id", "block_key", "salt")
+    )
+
+
+def _pair_block_rows(
+    membership: DataFrame,
+    ranked: DataFrame,
+    fdict: DataFrame,
+    block_cap: int,
+) -> DataFrame:
+    """Pre-dedup pair union: one fixed-width row (left_rank, right_rank,
+    key_rank, salt) per (pair, block) co-occurrence. Every pair of members
+    of a block appears EXACTLY once per block — in the salted path each
+    right row lands in one part and each left row meets it in exactly one
+    replica — so downstream aggregates can take min (candidate dedup) or
+    count (meta-blocking CBS weights) per pair without correction terms.
+    """
     # dictionaries are one row per distinct key/file — small at test scale
     # (AQE will auto-broadcast the join-backs), O(n) at 10^12 rows (AQE
     # falls back to sort-merge joins); no explicit broadcast hint on
     # purpose.
-    ranked = _ranked_census(membership)
-    fdict = _ranked_files(membership)
     m = membership.join(ranked, "block_key").join(fdict, "file_id")
 
     small = m.filter(F.col("block_n") <= block_cap).select("key_rank", "file_rank")
@@ -250,9 +281,23 @@ def candidate_pairs(
         )
     )
 
-    allp = pairs_small.unionByName(pairs_big)
-    deduped = allp.groupBy("left_rank", "right_rank").agg(
-        F.min("key_rank").alias("key_rank"), F.min("salt").alias("salt")
+    return pairs_small.unionByName(pairs_big)
+
+
+def pair_weights(
+    membership: DataFrame,
+    block_cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """Meta-blocking edge weights: (left_id, right_id, cbs_weight) where
+    cbs_weight = number of blocks the pair co-occurs in (the CBS scheme of
+    Papadakis et al.'s blocking-graph framework). Shares the fixed-width
+    pre-dedup union with :func:`candidate_pairs` — the count aggregate is
+    exactly as combinable/skew-safe as the min it replaces."""
+    ranked = _ranked_census(membership)
+    fdict = _ranked_files(membership)
+    allp = _pair_block_rows(membership, ranked, fdict, block_cap)
+    weighted = allp.groupBy("left_rank", "right_rank").agg(
+        F.count("*").cast("long").alias("cbs_weight")
     )
     lf = fdict.select(
         F.col("file_rank").alias("left_rank"), F.col("file_id").alias("left_id")
@@ -261,8 +306,45 @@ def candidate_pairs(
         F.col("file_rank").alias("right_rank"), F.col("file_id").alias("right_id")
     )
     return (
-        deduped.join(ranked.select("key_rank", "block_key"), "key_rank")
-        .join(lf, "left_rank")
+        weighted.join(lf, "left_rank")
         .join(rf, "right_rank")
-        .select("left_id", "right_id", "block_key", "salt")
+        .select("left_id", "right_id", "cbs_weight")
     )
+
+
+def dense_order_rank(df: DataFrame, col: str, rank_col: str) -> DataFrame:
+    """Adds ``rank_col``: the DENSE global ordinal (1..n) of each row under
+    the string order of ``df[col]`` (rows must be distinct on ``col``).
+
+    Unlike :func:`_order_rank` (whose ranks are order-preserving but
+    gapped), sorted-neighborhood needs adjacency — rank i and i+1 must be
+    neighbors in the sort. Construction stays distributed: range-partition
+    by the column, count rows per partition (one ~#partitions-row collect,
+    the standard zipWithIndex offset pattern — O(partitions), never
+    O(rows), on the driver), then offset + row_number within partitions.
+    Persisted so both sides of the neighbor self-join see one
+    materialization."""
+    parts = (
+        df.repartitionByRange(_RANK_PARTS, col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r._pid: r.n for r in parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = parts.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    ranked = (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            rank_col, F.col("_offset") + F.row_number().over(w).cast("long")
+        )
+        .drop("_pid", "_offset")
+        .persist()
+    )
+    parts.unpersist()
+    return ranked

@@ -706,6 +706,78 @@ def q_bcubed(spark, sf_dir):
     )
 
 
+SNM_WINDOW = 4  # sliding-window size w: pairs at rank distance 1..w-1
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernández-Stolfo SNM) — the third
+    classic blocker next to the composite-key and LSH-band blocks
+    (``blocking.py``): sort the representatives by a domain sort key
+    (lang : path_stem : basename, file_id as the unique tiebreak), slide a
+    window of w=SNM_WINDOW, and emit every pair within the window. Catches
+    near-misses that share no exact block key (e.g. one-char stem typos
+    that land in adjacent sort positions) — the attribute-neighborhood
+    analog of the reference's keyword candidate generator
+    (``blink/candidate_retrieval/candidate_generators.py:16-116``).
+
+    Scale shape: one range-partition sort builds the dense rank
+    (``blocking.dense_order_rank`` — per-partition row_number + an
+    O(partitions) offset collect, never a single-partition window), then
+    the window pairs come from a (w-1)-way broadcast replication +
+    equi-join on rank. No self-join on a hot key, no range join."""
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    keyed = reps.select(
+        "file_id",
+        F.concat_ws(
+            ":",
+            F.col("lang"),
+            F.col("path_stem"),
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            F.col("file_id"),
+        ).alias("snm_key"),
+    )
+    ranked = blocking.dense_order_rank(keyed, "snm_key", "snm_rank")
+    dists = spark.range(1, SNM_WINDOW).select(
+        F.col("id").cast("long").alias("rank_distance")
+    )
+    left = ranked.select(
+        F.col("file_id").alias("a_id"), F.col("snm_rank").alias("a_rank")
+    )
+    right = ranked.select(
+        F.col("file_id").alias("b_id"), F.col("snm_rank").alias("b_rank")
+    )
+    probe = left.crossJoin(F.broadcast(dists)).withColumn(
+        "b_rank", F.col("a_rank") + F.col("rank_distance")
+    )
+    return probe.join(right, "b_rank").select(
+        F.least("a_id", "b_id").alias("left_id"),
+        F.greatest("a_id", "b_id").alias("right_id"),
+        "rank_distance",
+    )
+
+
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking with CBS edge weights + weighted-edge pruning
+    (Papadakis et al.'s blocking-graph framework): weight every candidate
+    pair by the NUMBER of blocks it co-occurs in, then keep only pairs
+    whose weight exceeds the global mean — redundancy across independent
+    blocking functions (composite key + 8 LSH bands) is evidence, and
+    pruning on it cuts the scoring bill before any feature is computed.
+
+    Scale shape: shares the fixed-width pre-dedup pair union with
+    ``blocking.candidate_pairs`` (rank dictionaries, salted oversized
+    blocks); the count aggregate is exactly as combinable as the min it
+    replaces, and the mean is a 1-row broadcast."""
+    memb = _membership(spark, sf_dir).select("file_id", "block_key")
+    weights = blocking.pair_weights(memb)
+    mean = weights.agg(F.avg("cbs_weight").alias("_mean_w"))
+    return (
+        weights.crossJoin(F.broadcast(mean))
+        .filter(F.col("cbs_weight") > F.col("_mean_w"))
+        .select("left_id", "right_id", "cbs_weight")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — the independent recomputation
 # ---------------------------------------------------------------------------
@@ -1066,6 +1138,32 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                         AS n_possible_pairs,
                       (SELECT count(*) FROM pairs) AS n_candidate_pairs
              )""",
+        "er_sorted_neighborhood": c
+        + f""", snm AS (
+               SELECT file_id,
+                      lang || ':' || path_stem || ':' || base || ':' || file_id
+                        AS snm_key
+               FROM reps
+             ),
+             snm_ranked AS (
+               SELECT file_id, row_number() OVER (ORDER BY snm_key) AS rn
+               FROM snm
+             )
+             SELECT least(a.file_id, b.file_id) AS left_id,
+                    greatest(a.file_id, b.file_id) AS right_id,
+                    b.rn - a.rn AS rank_distance
+             FROM snm_ranked a JOIN snm_ranked b
+               ON b.rn > a.rn AND b.rn < a.rn + {SNM_WINDOW}""",
+        "er_meta_blocking": c
+        + """, weights AS (
+               SELECT l.file_id AS left_id, r.file_id AS right_id,
+                      CAST(count(*) AS BIGINT) AS cbs_weight
+               FROM memb l JOIN memb r
+                 ON l.block_key = r.block_key AND l.file_id < r.file_id
+               GROUP BY 1, 2
+             )
+             SELECT left_id, right_id, cbs_weight FROM weights
+             WHERE cbs_weight > (SELECT avg(cbs_weight) FROM weights)""",
         "er_bcubed": c
         + """, asg AS (
                SELECT cl.file_id, cl.cluster_id, g.gold_cluster
@@ -1122,4 +1220,6 @@ QUERIES = {
     "er_score_hist": q_score_hist,
     "er_reduction_ratio": q_reduction_ratio,
     "er_bcubed": q_bcubed,
+    "er_sorted_neighborhood": q_sorted_neighborhood,
+    "er_meta_blocking": q_meta_blocking,
 }

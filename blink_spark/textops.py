@@ -479,6 +479,62 @@ def q_doc_canonical_pick(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Repetition quality signals (the Gopher/MassiveText family): per
+    document the duplicate-token fraction, most-frequent-token fraction,
+    and duplicate-bigram fraction — the standard filters for boilerplate
+    and degenerate repetition in LLM training corpora, next to
+    ``doc_quality``'s character-class score.
+
+    Scale shape: distinct/bigram stats are pure JVM array expressions
+    (zero shuffle); the top-token count is one explode + combinable
+    two-level groupBy — linear in corpus size, never O(doc_len²) (the
+    per-row list-scan alternative degenerates on pathological
+    million-token docs)."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    n = F.size("tokens")
+    top = (
+        df.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    bigrams = F.when(n >= 2, F.expr(
+        "transform(slice(tokens, 1, size(tokens) - 1),"
+        " (t, i) -> concat(t, ' ', element_at(tokens, i + 2)))"
+    )).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_dis"),
+        bigrams.alias("bigrams"),
+    ).withColumn("n_bg", F.size("bigrams")).withColumn(
+        "n_bg_dis", F.size(F.array_distinct("bigrams"))
+    )
+    joined = base.join(top, "doc_id", "left")
+    nn = F.col("n_tokens")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        _r6(
+            F.when(nn > 0, (nn - F.col("n_dis")) / nn).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_frac"),
+        _r6(
+            F.when(nn > 0, F.coalesce(F.col("top_cnt"), F.lit(0)) / nn)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_token_frac"),
+        _r6(
+            F.when(
+                F.col("n_bg") > 0,
+                (F.col("n_bg") - F.col("n_bg_dis")) / F.col("n_bg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def q_doc_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-K terms per document — the corpus-statistics primitive
     (keyword extraction / relevance weighting) every training-data
@@ -745,6 +801,27 @@ SELECT doc_id, rank, term, tf, df,
   round(tfidf_raw, 6) + 0.0 AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}"""
 
+    sql["doc_repetition"] = c + """
+SELECT doc_id,
+  len(tokens) AS n_tokens,
+  (round(CASE WHEN len(tokens) > 0 THEN
+     CAST(len(tokens) - len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+     ELSE 0.0 END, 6) + 0.0) AS dup_token_frac,
+  (round(CASE WHEN len(tokens) > 0 THEN
+     CAST(list_max(list_transform(list_distinct(tokens),
+            t -> len(list_filter(tokens, x -> x = t)))) AS DOUBLE)
+       / len(tokens)
+     ELSE 0.0 END, 6) + 0.0) AS top_token_frac,
+  (round(CASE WHEN len(tokens) >= 2 THEN
+     CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+     ELSE 0.0 END, 6) + 0.0) AS dup_bigram_frac
+FROM (
+  SELECT doc_id, tokens,
+    list_transform(range(1, len(tokens)),
+                   i -> tokens[i] || ' ' || tokens[i+1]) AS bg
+  FROM docs
+)"""
+
     thr_cases = " ".join(
         f"WHEN '{lang}' THEN '{_rate_threshold_hex(SAMPLE_RATES[lang])}'"
         for lang in sorted(SAMPLE_RATES)
@@ -827,4 +904,5 @@ QUERIES = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_canonical_pick": q_doc_canonical_pick,
+    "doc_repetition": q_doc_repetition,
 }
