@@ -289,6 +289,36 @@ def q_incremental_clusters(spark, sf_dir):
     return st2.clusters
 
 
+# the deterministic retraction slice for q_unlink_clusters — rows whose
+# sha256(path) starts with '0' or '1' (~1/8 of the corpus); the DuckDB
+# oracle applies the complementary predicate to its src CTE
+_UNLINK_WHERE = "WHERE substr(sha256(path), 1, 1) NOT IN ('0', '1')"
+
+
+def q_unlink_clusters(spark, sf_dir):
+    """Retraction under the hard oracle gate (the inverse of
+    ``q_incremental_clusters``): link the FULL corpus, then
+    ``incremental.unlink_batch`` a deterministic ~1/8 slice of it.
+
+    ``unlink_batch`` repairs ONLY the clusters the deleted rows touched
+    (re-blocking + re-scoring the surviving members of those clusters —
+    zero feature kernels, untouched assignments stitched back verbatim),
+    so per-batch retraction work scales with the affected clusters'
+    footprint, not the corpus.  The oracle recomputes the one-shot
+    transitive closure over the REDUCED corpus in DuckDB, so a hash match
+    proves the delta repair is exactly equivalent to recomputing from
+    scratch — including any cluster splits the deletions cause (GDPR
+    erasure / KB-retraction semantics, the inverse of the KBP loop in
+    ``scripts/kbp_simulation.py:316-366``)."""
+    from blink_spark import incremental
+
+    src = load_source(spark, sf_dir)
+    state = incremental.link_batch(None, src)
+    is_del = F.substring(F.sha2(F.col("path"), 256), 1, 1).isin("0", "1")
+    del_ids = ingest.ingest(src.filter(is_del)).select("file_id")
+    return incremental.unlink_batch(state, del_ids).clusters
+
+
 def q_cluster_sizes(spark, sf_dir):
     """Cluster-size histogram (``value_counts`` report analog, §2.5 A7)."""
     sizes = _clusters(spark, sf_dir).groupBy("cluster_id").agg(
@@ -782,8 +812,12 @@ def q_meta_blocking(spark, sf_dir):
 # Oracle SQL (DuckDB) — the independent recomputation
 # ---------------------------------------------------------------------------
 
-def _cte_chain(sf: float) -> str:
-    """WITH-chain recomputing every stage in DuckDB over the same parquet."""
+def _cte_chain(sf: float, src_where: str = "") -> str:
+    """WITH-chain recomputing every stage in DuckDB over the same parquet.
+
+    ``src_where`` optionally restricts the source rows (used by the
+    retraction oracle, which must recompute the closure over the REDUCED
+    corpus)."""
     from blink_spark.fixtures import fixture_path
 
     toks = minhash.sql_tokens("content")
@@ -799,6 +833,7 @@ def _cte_chain(sf: float) -> str:
 WITH src AS (
   SELECT repo, path, commit, lang, content, gold_cluster
   FROM read_parquet('{fixture_path(sf)}')
+  {src_where}
 ),
 ing0 AS (
   SELECT repo, path, commit, lang, gold_cluster,
@@ -938,6 +973,9 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     c = _cte_chain(sf)
     # recursive CTE must be declared on the WITH; prepend keyword
     c = c.replace("WITH src AS", "WITH RECURSIVE src AS", 1)
+    cu = _cte_chain(sf, _UNLINK_WHERE).replace(
+        "WITH src AS", "WITH RECURSIVE src AS", 1
+    )
     return {
         "er_ingest": c
         + "SELECT file_id, content_sha, lang, path_stem, n_tokens FROM ing",
@@ -979,6 +1017,10 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
         # identical text to er_clusters on purpose: the incremental
         # two-batch run must converge to the one-shot closure
         "er_incremental_clusters": c
+        + "SELECT file_id, cluster_id FROM clusters",
+        # the same closure over the corpus MINUS the retraction slice:
+        # the delta repair must equal a from-scratch run on what remains
+        "er_unlink_clusters": cu
         + "SELECT file_id, cluster_id FROM clusters",
         "er_cluster_sizes": c
         + """SELECT n_members, count(*) AS n_clusters FROM (
@@ -1206,6 +1248,7 @@ QUERIES = {
     "er_match_edges": q_match_edges,
     "er_clusters": q_clusters,
     "er_incremental_clusters": q_incremental_clusters,
+    "er_unlink_clusters": q_unlink_clusters,
     "er_cluster_sizes": q_cluster_sizes,
     "er_confusion": q_confusion,
     "er_block_census": q_block_census,

@@ -189,6 +189,66 @@ def link_batch(
     )
 
 
+def unlink_batch(
+    state: LinkState,
+    deleted_ids: DataFrame,
+    tau: float = scoring.MATCH_TAU,
+    block_cap: int = blocking.DEFAULT_BLOCK_CAP,
+) -> LinkState:
+    """Retraction — the inverse of :func:`link_batch`: remove a batch of
+    file_ids from the accumulated state and repair ONLY the clusters they
+    touched (a deleted row can be the bridge holding a cluster together,
+    so its cluster may split).
+
+    Why this is exact: every match/sha edge is intra-cluster by the CC
+    fixpoint (an inter-cluster edge would have merged the clusters), so
+    deleting a row can only change the components of its own cluster, and
+    all evidence needed to re-derive them lives in the surviving members'
+    stored features. The repair is therefore
+    ``link_features(None, survivors-of-affected-clusters)`` — blocking +
+    scoring + CC over that slice alone, zero feature kernels — stitched
+    onto the untouched assignments verbatim. Per-batch work scales with
+    the affected clusters' footprint, not the corpus (the same delta
+    discipline as :func:`link_features`'s old-only block pruning).
+
+    Requires an uncompacted feature index for the affected clusters: after
+    :func:`compact_state` only representatives keep features, and a
+    retraction that needs a pruned member's features raises rather than
+    silently mis-clustering.
+    """
+    del_ids = deleted_ids.select("file_id").distinct().persist()
+    affected = (
+        state.clusters.join(del_ids, "file_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = state.clusters.join(affected, "cluster_id", "left_semi")
+    survivors = (
+        members.join(del_ids, "file_id", "left_anti").select("file_id").persist()
+    )
+    # Persist AND materialize the repair input before link_features — the
+    # same discipline link_batch applies to batch features: the scoring
+    # join builds several independent broadcasts, and an unpersisted
+    # surv_feat would re-run its whole upstream lineage (incl. the Arrow
+    # feature kernels if the caller's state is lazy) once per broadcast
+    # build — concurrent JNI-critical Arrow batches are exactly what
+    # starves the GC locker on small-heap sessions.
+    surv_feat = state.features.join(survivors, "file_id", "left_semi").persist()
+    n_survivors, n_with_feat = survivors.count(), surv_feat.count()
+    if n_with_feat < n_survivors:
+        raise ValueError(
+            "unlink_batch needs features for every surviving member of an "
+            "affected cluster; state was compacted past them — re-ingest "
+            "those rows or retract before compacting"
+        )
+    repaired = link_features(None, surv_feat, tau, block_cap)
+    kept = state.clusters.join(affected, "cluster_id", "left_anti")
+    return LinkState(
+        features=state.features.join(del_ids, "file_id", "left_anti"),
+        clusters=kept.unionByName(repaired.clusters),
+    )
+
+
 def cluster_representatives(
     features: DataFrame, clusters: DataFrame, mode: str = "medoid"
 ) -> DataFrame:
@@ -314,4 +374,28 @@ class SnapshotLinkStore:
         new_feat = batch_features(new_source).persist()
         state = link_features(prior, new_feat, **kw)
         self.commit_batch(prior, new_feat, state)
+        return self.load()
+
+    def unlink_and_commit(self, deleted_ids: DataFrame, **kw) -> LinkState:
+        """One resumable retraction step: load → :func:`unlink_batch` →
+        copy-on-write DELETE of the retracted rows from both tables plus a
+        MERGE of the repaired survivor assignments (only data dirs holding
+        a touched key are rewritten). The id list rides a SQL IN-condition
+        — retraction batches are deltas by nature; a bulk purge should be
+        a fresh ``publish`` instead."""
+        prior = self.load()
+        if prior is None:
+            raise ValueError("unlink_and_commit before any committed batch")
+        state = unlink_batch(prior, deleted_ids, **kw)
+        ids = sorted(
+            r.file_id for r in deleted_ids.select("file_id").distinct().collect()
+        )
+        if ids:
+            cond = "file_id IN (" + ", ".join(f"'{i}'" for i in ids) + ")"
+            self.writer.delete_where(self.FEATURES, cond)
+            self.writer.delete_where(self.CLUSTERS, cond)
+        changed = state.clusters.join(
+            prior.clusters, ["file_id", "cluster_id"], "left_anti"
+        )
+        self.writer.merge(self.CLUSTERS, changed, ["file_id"])
         return self.load()

@@ -214,3 +214,132 @@ def test_snapshot_link_store_resumes_across_restart(spark, tmp_path):
     assert m["merge_inserted"] == b2.count()
     assert m["merge_updated"] > 0
     assert m["rows"] == src.count()
+
+
+def test_unlink_equals_one_shot_on_reduced_input(spark):
+    """Retraction contract: unlink_batch(state, D) must equal the one-shot
+    pipeline on corpus∖D — including any cluster splits the deletions
+    cause (every edge is intra-cluster at the CC fixpoint, so repairing
+    only affected clusters loses nothing)."""
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    state = incremental.link_batch(None, src).persist()
+
+    is_del = F.pmod(F.xxhash64("commit"), F.lit(5)) == 0
+    deleted = src.filter(is_del).persist()
+    remaining = src.filter(~is_del).persist()
+    assert deleted.count() > 0 and remaining.count() > 0
+
+    from blink_spark import ingest as _ing
+
+    del_ids = _ing.ingest(deleted).select("file_id").persist()
+    # the repair must be non-trivial: some deleted row sits in a cluster
+    # with surviving members
+    members = state.clusters.join(
+        state.clusters.join(del_ids, "file_id", "left_semi")
+        .select("cluster_id")
+        .distinct(),
+        "cluster_id",
+        "left_semi",
+    )
+    assert members.join(del_ids, "file_id", "left_anti").count() > 0
+
+    unlinked = incremental.unlink_batch(state, del_ids)
+    one_shot = _canon(run_pipeline(spark, remaining)["clusters"])
+    assert _canon(unlinked.clusters) == one_shot
+    # retracted rows are gone from the feature index too
+    assert unlinked.features.join(del_ids, "file_id", "left_semi").count() == 0
+
+
+def test_unlink_repairs_only_affected_clusters(spark, monkeypatch):
+    """Structural delta proof: the repair feeds link_features ONLY the
+    surviving members of affected clusters, never the corpus."""
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    state = incremental.link_batch(None, src).persist()
+    state.features.count(), state.clusters.count()
+
+    from blink_spark import ingest as _ing
+
+    is_del = F.pmod(F.xxhash64("commit"), F.lit(7)) == 0
+    del_ids = _ing.ingest(src.filter(is_del)).select("file_id").persist()
+    affected = (
+        state.clusters.join(del_ids, "file_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    n_survivors = (
+        state.clusters.join(affected, "cluster_id", "left_semi")
+        .join(del_ids, "file_id", "left_anti")
+        .count()
+    )
+    n_total = state.clusters.count()
+    assert 0 < n_survivors < n_total
+
+    fed: list[int] = []
+    orig = incremental.link_features
+
+    def counting(prior, feats, *a, **kw):
+        fed.append(feats.count())
+        return orig(prior, feats, *a, **kw)
+
+    monkeypatch.setattr(incremental, "link_features", counting)
+    incremental.unlink_batch(state, del_ids).clusters.count()
+    assert fed == [n_survivors], f"repair fed {fed}, want [{n_survivors}]"
+
+
+def test_unlink_raises_on_compacted_state(spark):
+    """After compact_state the pruned members have no features; retracting
+    the representative of a multi-member cluster must raise, not silently
+    mis-cluster."""
+    import pytest
+
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    state = incremental.link_batch(None, src).persist()
+    compacted = incremental.compact_state(state, mode="first").persist()
+
+    big = (
+        state.clusters.groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") >= 2)
+        .limit(1)
+        .collect()
+    )
+    assert big, "fixture should have a multi-member cluster"
+    rep_id = (
+        compacted.features.join(
+            state.clusters.filter(F.col("cluster_id") == big[0]["cluster_id"]),
+            "file_id",
+            "left_semi",
+        )
+        .select("file_id")
+        .limit(1)
+    )
+    with pytest.raises(ValueError, match="compacted"):
+        incremental.unlink_batch(compacted, rep_id)
+
+
+def test_snapshot_store_unlink_commits(spark, tmp_path):
+    """Durable retraction: unlink_and_commit CoW-deletes the retracted
+    rows from both tables and merges the repaired assignments; a reload
+    equals the one-shot pipeline on the reduced corpus."""
+    from blink_spark.checkpoint import StageWriter
+    from blink_spark.incremental import SnapshotLinkStore
+    from blink_spark import ingest as _ing
+
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    store = SnapshotLinkStore(StageWriter(spark, str(tmp_path), "kbp"))
+    store.link_and_commit(src)
+
+    is_del = F.pmod(F.xxhash64("commit"), F.lit(5)) == 0
+    deleted = src.filter(is_del).persist()
+    del_ids = _ing.ingest(deleted).select("file_id").persist()
+
+    final = store.unlink_and_commit(del_ids)
+    one_shot = _canon(run_pipeline(spark, src.filter(~is_del))["clusters"])
+    assert _canon(final.clusters) == one_shot
+    assert final.features.join(del_ids, "file_id", "left_semi").count() == 0
+
+    # a restart sees the committed retraction
+    reloaded = SnapshotLinkStore(StageWriter(spark, str(tmp_path), "kbp")).load()
+    assert _canon(reloaded.clusters) == one_shot
+    ops = [r["operation"] for r in store.writer.snapshots(SnapshotLinkStore.CLUSTERS)]
+    assert ops[-2:] == ["delete", "merge"]

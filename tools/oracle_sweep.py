@@ -39,34 +39,44 @@ _WALK_RE = re.compile(
 _CLOSURE_SUB = "clusters AS (\n  SELECT file_id, cluster_id FROM _closure\n)"
 
 
-def materialize_closure(con, me_sql: str, nodes_sql: str, max_rounds: int = 200):
-    """Min-label propagation to fixpoint over the symmetrized match edges."""
-    con.execute("CREATE OR REPLACE TABLE _me AS " + me_sql)
-    con.execute("CREATE OR REPLACE TABLE _ing_ids AS " + nodes_sql)
+def materialize_closure(
+    con, me_sql: str, nodes_sql: str, max_rounds: int = 200, suffix: str = ""
+):
+    """Min-label propagation to fixpoint over the symmetrized match edges.
+
+    ``suffix`` namespaces the scratch tables so several closures (e.g. the
+    full-corpus one and the retraction oracle's reduced-corpus one) can
+    coexist in one connection."""
+    t = lambda name: name + suffix  # noqa: E731
+    con.execute(f"CREATE OR REPLACE TABLE {t('_me')} AS " + me_sql)
+    con.execute(f"CREATE OR REPLACE TABLE {t('_ing_ids')} AS " + nodes_sql)
     con.execute(
-        """CREATE OR REPLACE TABLE _sym AS
-           SELECT left_id AS src, right_id AS dst FROM _me
-           UNION SELECT right_id, left_id FROM _me"""
+        f"""CREATE OR REPLACE TABLE {t('_sym')} AS
+           SELECT left_id AS src, right_id AS dst FROM {t('_me')}
+           UNION SELECT right_id, left_id FROM {t('_me')}"""
     )
     con.execute(
-        "CREATE OR REPLACE TABLE _closure AS "
-        "SELECT file_id, file_id AS cluster_id FROM _ing_ids"
+        f"CREATE OR REPLACE TABLE {t('_closure')} AS "
+        f"SELECT file_id, file_id AS cluster_id FROM {t('_ing_ids')}"
     )
     for _ in range(max_rounds):
         con.execute(
-            """CREATE OR REPLACE TABLE _next AS
+            f"""CREATE OR REPLACE TABLE {t('_next')} AS
                SELECT node AS file_id, min(lbl) AS cluster_id FROM (
-                 SELECT file_id AS node, cluster_id AS lbl FROM _closure
+                 SELECT file_id AS node, cluster_id AS lbl FROM {t('_closure')}
                  UNION ALL
                  SELECT s.dst, c.cluster_id
-                 FROM _sym s JOIN _closure c ON c.file_id = s.src
+                 FROM {t('_sym')} s JOIN {t('_closure')} c ON c.file_id = s.src
                ) GROUP BY node"""
         )
         changed = con.execute(
-            """SELECT count(*) FROM _next n JOIN _closure c USING (file_id)
+            f"""SELECT count(*) FROM {t('_next')} n
+               JOIN {t('_closure')} c USING (file_id)
                WHERE n.cluster_id <> c.cluster_id"""
         ).fetchone()[0]
-        con.execute("CREATE OR REPLACE TABLE _closure AS SELECT * FROM _next")
+        con.execute(
+            f"CREATE OR REPLACE TABLE {t('_closure')} AS SELECT * FROM {t('_next')}"
+        )
         if changed == 0:
             return
     raise RuntimeError(f"closure did not converge in {max_rounds} rounds")
@@ -142,6 +152,22 @@ def main():
             ),
         )
         n_rewritten = 0
+        # the retraction oracle's closure runs over the REDUCED corpus —
+        # materialize it separately (before the generic rewrite loop, so
+        # er_unlink_clusters never gets pointed at the full-corpus table)
+        if "er_unlink_clusters" in oracles:
+            cu = oracles["er_unlink_clusters"]
+            final = "SELECT file_id, cluster_id FROM clusters"
+            materialize_closure(
+                con,
+                cu.replace(final, "SELECT left_id, right_id FROM match_edges"),
+                cu.replace(final, "SELECT file_id FROM ing"),
+                suffix="_u",
+            )
+            oracles["er_unlink_clusters"] = _WALK_RE.sub(
+                _CLOSURE_SUB.replace("_closure", "_closure_u"), cu
+            )
+            n_rewritten += 1
         for k, v in list(oracles.items()):
             if _WALK_RE.search(v):
                 oracles[k] = _WALK_RE.sub(_CLOSURE_SUB, v)
