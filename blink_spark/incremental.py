@@ -194,6 +194,7 @@ def unlink_batch(
     deleted_ids: DataFrame,
     tau: float = scoring.MATCH_TAU,
     block_cap: int = blocking.DEFAULT_BLOCK_CAP,
+    rehydrate_from: DataFrame | None = None,
 ) -> LinkState:
     """Retraction — the inverse of :func:`link_batch`: remove a batch of
     file_ids from the accumulated state and repair ONLY the clusters they
@@ -211,8 +212,13 @@ def unlink_batch(
     the affected clusters' footprint, not the corpus (the same delta
     discipline as :func:`link_features`'s old-only block pruning).
 
-    Requires an uncompacted feature index for the affected clusters: after
-    :func:`compact_state` only representatives keep features, and a
+    After :func:`compact_state` only representatives keep features, so a
+    retraction touching a pruned member cannot repair from state alone.
+    Pass ``rehydrate_from`` (the raw source table) to recompute features
+    for exactly the missing survivors — the feature kernels run on
+    O(missing) rows, never the corpus (the id restriction is a semi join
+    BEFORE the tokenize/minhash/embedding stage; determinism makes the
+    rehydrated rows byte-equal to the pruned originals). Without it a
     retraction that needs a pruned member's features raises rather than
     silently mis-clustering.
     """
@@ -235,16 +241,46 @@ def unlink_batch(
     # starves the GC locker on small-heap sessions.
     surv_feat = state.features.join(survivors, "file_id", "left_semi").persist()
     n_survivors, n_with_feat = survivors.count(), surv_feat.count()
+    rehydrated = None
     if n_with_feat < n_survivors:
-        raise ValueError(
-            "unlink_batch needs features for every surviving member of an "
-            "affected cluster; state was compacted past them — re-ingest "
-            "those rows or retract before compacting"
+        if rehydrate_from is None:
+            raise ValueError(
+                "unlink_batch needs features for every surviving member of "
+                "an affected cluster; state was compacted past them — pass "
+                "rehydrate_from=<source table> or retract before compacting"
+            )
+        missing = survivors.join(
+            surv_feat.select("file_id"), "file_id", "left_anti"
         )
+        # ingest is JVM-side hashing (one source scan, no Python); the
+        # kernels (tokenize → minhash → embedding) run only on the rows
+        # that survive the semi join
+        ing_missing = ingest.ingest(rehydrate_from).join(
+            missing, "file_id", "left_semi"
+        )
+        rehydrated = (
+            scoring.with_embedding(blocking.with_lsh_columns(ing_missing))
+            .select(*FEATURE_COLS)
+            .persist()
+        )
+        if rehydrated.count() + n_with_feat < n_survivors:
+            raise ValueError(
+                "rehydrate_from does not contain every pruned survivor of "
+                "the affected clusters — retraction would mis-cluster"
+            )
+        surv_feat = surv_feat.unionByName(rehydrated).persist()
     repaired = link_features(None, surv_feat, tau, block_cap)
     kept = state.clusters.join(affected, "cluster_id", "left_anti")
+    remaining_feat = state.features.join(del_ids, "file_id", "left_anti")
+    if rehydrated is not None:
+        # fold the rehydrated survivors back in: a deleted row may have
+        # been its cluster's representative, and without these rows the
+        # repaired clusters would be invisible to future link_batch calls.
+        # Growth is O(affected survivors); re-run compact_state to prune
+        # back to one representative per (now-repaired) cluster.
+        remaining_feat = remaining_feat.unionByName(rehydrated)
     return LinkState(
-        features=state.features.join(del_ids, "file_id", "left_anti"),
+        features=remaining_feat,
         clusters=kept.unionByName(repaired.clusters),
     )
 

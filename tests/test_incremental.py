@@ -317,6 +317,60 @@ def test_unlink_raises_on_compacted_state(spark):
         incremental.unlink_batch(compacted, rep_id)
 
 
+def test_unlink_rehydrates_pruned_survivors_from_source(spark, monkeypatch):
+    """Post-compaction retraction: with rehydrate_from, features for the
+    PRUNED survivors of affected clusters are recomputed from the raw
+    source — kernels run on exactly the missing rows, never the corpus —
+    and the repaired clusters still equal the one-shot pipeline on the
+    reduced corpus."""
+    from blink_spark import ingest as _ing, scoring as _scoring
+
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    state = incremental.link_batch(None, src).persist()
+    compacted = incremental.compact_state(state, mode="first").persist()
+    compacted.features.count(), compacted.clusters.count()
+
+    is_del = F.pmod(F.xxhash64("commit"), F.lit(5)) == 0
+    del_ids = _ing.ingest(src.filter(is_del)).select("file_id").persist()
+
+    affected = (
+        compacted.clusters.join(del_ids, "file_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    survivors = (
+        compacted.clusters.join(affected, "cluster_id", "left_semi")
+        .join(del_ids, "file_id", "left_anti")
+        .select("file_id")
+    )
+    n_missing = survivors.join(
+        compacted.features.select("file_id"), "file_id", "left_anti"
+    ).count()
+    assert n_missing > 0, "compaction should have pruned some survivor"
+
+    fed: list[int] = []
+    orig_embed = _scoring.with_embedding
+
+    def counting(df, *a, **kw):
+        fed.append(df.count())
+        return orig_embed(df, *a, **kw)
+
+    monkeypatch.setattr(_scoring, "with_embedding", counting)
+    unlinked = incremental.unlink_batch(compacted, del_ids, rehydrate_from=src)
+    got = _canon(unlinked.clusters)
+    assert fed == [n_missing], f"kernels fed {fed}, want [{n_missing}]"
+
+    one_shot = _canon(run_pipeline(spark, src.filter(~is_del))["clusters"])
+    assert got == one_shot
+    # every affected survivor is feature-covered again (re-compactable),
+    # and the retracted rows are gone
+    assert (
+        survivors.join(unlinked.features.select("file_id"), "file_id", "left_anti")
+        .count() == 0
+    )
+    assert unlinked.features.join(del_ids, "file_id", "left_semi").count() == 0
+
+
 def test_snapshot_store_unlink_commits(spark, tmp_path):
     """Durable retraction: unlink_and_commit CoW-deletes the retracted
     rows from both tables and merges the repaired assignments; a reload
