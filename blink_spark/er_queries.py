@@ -319,6 +319,62 @@ def q_unlink_clusters(spark, sf_dir):
     return incremental.unlink_batch(state, del_ids).clusters
 
 
+def q_cdc_clusters(spark, sf_dir):
+    """CDC retract-stream linkage under the hard oracle gate: the corpus
+    is replayed as ordered micro-batches of an ``op``-tagged change
+    stream — batch 1 inserts half the rows, batch 2 inserts the rest AND
+    carries key-only DELETE events for the ``er_unlink_clusters`` slice
+    (sha256(path) first hex in {0,1}).  ``streaming.stream_link_cdc``
+    links inserts incrementally and retracts deletes via
+    ``incremental.unlink_batch`` with merge-on-read tombstones, and the
+    final published assignment must hash-match the one-shot DuckDB
+    closure over the REDUCED corpus — streamed CDC ≡ batch rebuild,
+    proven against an independent engine.
+
+    Driver-side pandas here is harness scaffolding only (it SIMULATES
+    file-drop arrival inside one correctness query, exactly like the
+    ``evt_stream_*`` queries); production events arrive from Kafka/file
+    drops already batched."""
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    import pandas as pd
+
+    from blink_spark import streaming
+
+    pdf = load_source(spark, sf_dir).toPandas()
+    first_hex = pdf["path"].map(
+        lambda p: hashlib.sha256(p.encode()).hexdigest()[0]
+    )
+    ins1 = pdf[first_hex.isin(list("01234567"))].copy()
+    ins2 = pdf[~first_hex.isin(list("01234567"))].copy()
+    ins1["op"] = ins2["op"] = "insert"
+    dels = pdf.loc[first_hex.isin(["0", "1"]), ["repo", "path", "commit"]].copy()
+    for c in ("lang", "content", "gold_cluster"):
+        dels[c] = pd.Series([None] * len(dels), dtype="string")
+    dels["op"] = "delete"
+    cols = ["repo", "path", "commit", "lang", "content", "gold_cluster", "op"]
+    b2 = pd.concat([ins2[cols], dels[cols]], ignore_index=True)
+
+    input_dir = tempfile.mkdtemp(prefix="er_cdc_in_")
+    now = time.time()
+    for i, b in enumerate((ins1[cols], b2)):
+        p = os.path.join(input_dir, f"b{i}.parquet")
+        b.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    state_dir = tempfile.mkdtemp(prefix="er_cdc_state_")
+    q = streaming.stream_link_cdc(
+        spark,
+        input_dir,
+        state_dir=state_dir,
+        checkpoint_dir=tempfile.mkdtemp(prefix="er_cdc_ck_"),
+    )
+    q.awaitTermination(600)
+    return streaming.latest_clusters(spark, state_dir)
+
+
 def q_cluster_sizes(spark, sf_dir):
     """Cluster-size histogram (``value_counts`` report analog, §2.5 A7)."""
     sizes = _clusters(spark, sf_dir).groupBy("cluster_id").agg(
@@ -1022,6 +1078,10 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
         # the delta repair must equal a from-scratch run on what remains
         "er_unlink_clusters": cu
         + "SELECT file_id, cluster_id FROM clusters",
+        # the CDC retract stream deletes the SAME slice, so its final
+        # published state must match the identical reduced-corpus closure
+        "er_cdc_clusters": cu
+        + "SELECT file_id, cluster_id FROM clusters",
         "er_cluster_sizes": c
         + """SELECT n_members, count(*) AS n_clusters FROM (
                SELECT cluster_id, count(*) AS n_members
@@ -1249,6 +1309,7 @@ QUERIES = {
     "er_clusters": q_clusters,
     "er_incremental_clusters": q_incremental_clusters,
     "er_unlink_clusters": q_unlink_clusters,
+    "er_cdc_clusters": q_cdc_clusters,
     "er_cluster_sizes": q_cluster_sizes,
     "er_confusion": q_confusion,
     "er_block_census": q_block_census,

@@ -27,6 +27,15 @@ def path_stem_col(path):
     return F.regexp_replace(base, r"\.[^.]*$", "")
 
 
+def file_id_col(repo="repo", path="path", commit="commit"):
+    """Stable row identity from the key triple alone (no content) — CDC
+    delete events carry just the key, so retraction never needs payloads."""
+    return F.sha2(
+        F.concat(F.col(repo), F.lit(SEP), F.col(path), F.lit(SEP), F.col(commit)),
+        256,
+    )
+
+
 def ingest(source: DataFrame) -> DataFrame:
     """source_files(repo,path,commit,lang,content[,...]) → normalized table.
 
@@ -36,15 +45,7 @@ def ingest(source: DataFrame) -> DataFrame:
     """
     toks = minhash.tokens_col(F.col("content"))
     df = (
-        source.withColumn(
-            "file_id",
-            F.sha2(
-                F.concat(
-                    F.col("repo"), F.lit(SEP), F.col("path"), F.lit(SEP), F.col("commit")
-                ),
-                256,
-            ),
-        )
+        source.withColumn("file_id", file_id_col())
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
         .withColumn("path_stem", path_stem_col(F.col("path")))
         .withColumn("tokens", toks)

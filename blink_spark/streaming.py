@@ -46,8 +46,9 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from blink_spark import incremental
+from blink_spark import incremental, ingest
 
 SOURCE_SCHEMA = (
     "repo string, path string, commit string, lang string, content string, "
@@ -57,6 +58,10 @@ SOURCE_SCHEMA = (
 SOURCE_SCHEMA_NO_GOLD = (
     "repo string, path string, commit string, lang string, content string"
 )
+
+# CDC retract stream: each event is an insert (full row) or a delete
+# (key triple only — file_id = sha2(repo‖path‖commit) needs no payload)
+CDC_SCHEMA = SOURCE_SCHEMA + ", op string"
 
 
 def _manifest_path(state_dir: str) -> str:
@@ -107,8 +112,41 @@ def _feature_dirs(entries: list[dict], up_to_version: int | None = None) -> list
     return [
         e["feature_dir"]
         for e in es
-        if up_to_version is None or e["version"] <= up_to_version
+        if e.get("feature_dir")  # a delete-only CDC version adds no dir
+        and (up_to_version is None or e["version"] <= up_to_version)
     ]
+
+
+def _delete_paths(entries: list[dict], up_to_version: int | None = None) -> list[str]:
+    """Cumulative tombstone files (merge-on-read deletes): feature dirs are
+    immutable, so a retraction is recorded as a per-version parquet of
+    deleted file_ids, anti-joined at read time — the Iceberg
+    position/equality-delete-file idiom, never a rewrite of old data."""
+    es = sorted(entries, key=lambda e: e["version"])
+    return [
+        e["deletes_path"]
+        for e in es
+        if e.get("deletes_path")
+        and (up_to_version is None or e["version"] <= up_to_version)
+    ]
+
+
+def _state_as_of(
+    spark: SparkSession, entries: list[dict], version: int
+) -> incremental.LinkState:
+    """Reconstruct the LinkState at a committed version: cumulative feature
+    dirs minus cumulative tombstones (merge-on-read), plus that version's
+    assignment snapshot (already net of deletes)."""
+    pub = next(e for e in entries if e["version"] == version)
+    feats = spark.read.parquet(*_feature_dirs(entries, version))
+    dels = _delete_paths(entries, version)
+    if dels:
+        feats = feats.join(
+            spark.read.parquet(*dels).select("file_id"), "file_id", "left_anti"
+        )
+    return incremental.LinkState(
+        features=feats, clusters=spark.read.parquet(pub["clusters_path"])
+    )
 
 
 def _published(state_dir: str) -> dict | None:
@@ -146,12 +184,7 @@ def make_batch_processor(
         if latest is None:
             prior = None
         else:
-            prior = incremental.LinkState(
-                features=spark.read.parquet(
-                    *_feature_dirs(entries, latest["version"])
-                ),
-                clusters=spark.read.parquet(latest["clusters_path"]),
-            )
+            prior = _state_as_of(spark, entries, latest["version"])
 
         # 1. index features for the NEW rows only → their own batch dir.
         #    Written before linking and read back so the (nondeterministic
@@ -173,6 +206,94 @@ def make_batch_processor(
             "batch_id": int(batch_id),
             "feature_dir": feat_dir,
             "clusters_path": clusters_path,
+        }
+        _append_manifest(state_dir, rec)
+
+    return process
+
+
+def make_cdc_batch_processor(
+    spark: SparkSession,
+    state_dir: str,
+    tau: float | None = None,
+    block_cap: int | None = None,
+):
+    """foreachBatch callback for a CDC retract stream (``op`` column:
+    ``insert`` carries a full source row, ``delete`` needs only the key
+    triple — payload columns may be null).
+
+    Per micro-batch, inserts are linked first, then deletes are retracted
+    (delete-wins within one batch; producers that need
+    delete-then-reinsert of the SAME key must split it across batches —
+    the op sets carry no intra-batch ordering). Feature dirs stay
+    immutable: a retraction commits a per-version tombstone parquet of the
+    deleted file_ids that every later read anti-joins (merge-on-read), so
+    delete cost is O(affected clusters) repair + O(batch) tombstone I/O,
+    never a rewrite of accumulated state. Same crash protocol as
+    :func:`make_batch_processor` — manifest append is the commit point,
+    every write is a deterministic function of the batch, replays of
+    committed versions are no-ops.
+    """
+    link_kwargs = {}
+    if tau is not None:
+        link_kwargs["tau"] = tau
+    if block_cap is not None:
+        link_kwargs["block_cap"] = block_cap
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        version = int(batch_id) + 1
+        entries = _read_manifest(state_dir)
+        if any(e["version"] == version for e in entries):
+            return  # replayed micro-batch: already committed
+        latest = max(entries, key=lambda e: e["version"]) if entries else None
+        prior = (
+            _state_as_of(spark, entries, latest["version"]) if latest else None
+        )
+
+        op = F.coalesce(F.col("op"), F.lit("insert"))
+        inserts = batch_df.filter(op != "delete").drop("op")
+        deletes = batch_df.filter(op == "delete")
+
+        state, feat_dir = prior, None
+        if not inserts.isEmpty():
+            feat_dir = os.path.join(
+                state_dir, "features", f"batch={int(batch_id)}"
+            )
+            incremental.batch_features(inserts).write.mode("overwrite").parquet(
+                feat_dir
+            )
+            state = incremental.link_features(
+                prior, spark.read.parquet(feat_dir), **link_kwargs
+            )
+
+        deletes_path = None
+        if not deletes.isEmpty() and state is not None:
+            del_ids = deletes.select(
+                ingest.file_id_col().alias("file_id")
+            ).distinct()
+            # a delete for a never-inserted (or already-deleted) key is a
+            # no-op; only live ids repair clusters and need a tombstone
+            live = del_ids.join(state.clusters, "file_id", "left_semi")
+            deletes_path = os.path.join(state_dir, f"deletes_v{version}")
+            live.write.mode("overwrite").parquet(deletes_path)
+            live_back = spark.read.parquet(deletes_path)
+            if live_back.isEmpty():
+                deletes_path = None
+            else:
+                state = incremental.unlink_batch(state, live_back, **link_kwargs)
+
+        if state is None:
+            return  # batch held only deletes against an empty state
+        clusters_path = os.path.join(state_dir, f"clusters_v{version}")
+        state.clusters.write.mode("overwrite").parquet(clusters_path)
+        rec = {
+            "version": version,
+            "batch_id": int(batch_id),
+            "feature_dir": feat_dir,
+            "clusters_path": clusters_path,
+            "deletes_path": deletes_path,
         }
         _append_manifest(state_dir, rec)
 
@@ -207,6 +328,34 @@ def stream_link(
     )
 
 
+def stream_link_cdc(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = CDC_SCHEMA,
+    max_files_per_trigger: int | None = 1,
+    tau: float | None = None,
+    block_cap: int | None = None,
+):
+    """Start (availableNow) a CDC retract-stream linkage: events carry an
+    ``op`` column (``insert``/``delete``); deletes retract rows and
+    delta-repair their clusters via :func:`incremental.unlink_batch`."""
+    os.makedirs(state_dir, exist_ok=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            make_cdc_batch_processor(spark, state_dir, tau=tau, block_cap=block_cap)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def latest_clusters(spark: SparkSession, state_dir: str) -> DataFrame:
     pub = _published(state_dir)
     if pub is None:
@@ -221,7 +370,4 @@ def latest_state(spark: SparkSession, state_dir: str) -> incremental.LinkState:
     if not entries:
         raise FileNotFoundError(f"no published state under {state_dir}")
     pub = max(entries, key=lambda e: e["version"])
-    return incremental.LinkState(
-        features=spark.read.parquet(*_feature_dirs(entries, pub["version"])),
-        clusters=spark.read.parquet(pub["clusters_path"]),
-    )
+    return _state_as_of(spark, entries, pub["version"])

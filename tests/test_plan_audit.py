@@ -36,6 +36,7 @@ SF_DIR = "/root/testdata/sf0.001"
 _CONSTRUCTION_IS_EXECUTION = {
     "er_incremental_clusters",
     "er_unlink_clusters",
+    "er_cdc_clusters",
     "evt_stream_windowed",
     "evt_stream_sessionize",
 }

@@ -137,3 +137,94 @@ def test_torn_manifest_tail_is_ignored_and_recovered(spark, tmp_path):
     entries = streaming._read_manifest(state_dir)
     assert [e["version"] for e in entries] == [1, 2]
     assert streaming.latest_state(spark, state_dir).features.count() == 240
+
+
+def test_cdc_stream_with_deletes_equals_one_shot_on_net_corpus(spark, tmp_path):
+    """CDC retract stream: inserts arrive across micro-batches, later
+    batches delete some of them (by key triple only — no payload), and the
+    final clustering must equal the one-shot batch pipeline over the NET
+    corpus (inserted ∖ deleted). Feature dirs stay immutable: deletes
+    commit per-version tombstone files that reads anti-join
+    (merge-on-read), and a delete for a never-inserted key is a no-op."""
+    import pandas as pd
+    import numpy as np
+
+    pdf = pd.read_parquet(ensure_fixture(0.001))
+    half = len(pdf) // 2
+    b1 = pdf.iloc[:half].copy()
+    b2_ins = pdf.iloc[half:].copy()
+    for b in (b1, b2_ins):
+        b["op"] = "insert"
+
+    # batch 2 also deletes a deterministic slice of batch 1 (key-only
+    # events: payload columns nulled) plus one key that never existed
+    import hashlib
+
+    key = b1["repo"] + "\0" + b1["path"] + "\0" + b1["commit"]
+    del_mask = np.array(
+        [int(hashlib.sha256(k.encode()).hexdigest()[0], 16) < 4 for k in key]
+    )
+    deleted1 = b1.loc[del_mask, ["repo", "path", "commit"]].copy()
+    assert 0 < len(deleted1) < len(b1)
+    ghost = pd.DataFrame(
+        [{"repo": "no-such-repo", "path": "x.py", "commit": "deadbeef"}]
+    )
+    b2_del = pd.concat([deleted1, ghost], ignore_index=True)
+    for c in ("lang", "content", "gold_cluster"):
+        b2_del[c] = pd.Series([None] * len(b2_del), dtype="string")
+    b2_del["op"] = "delete"
+    b2 = pd.concat([b2_ins, b2_del], ignore_index=True)
+
+    # batch 3: deletes only (exercises the no-insert commit path)
+    key2 = b2_ins["repo"] + "\0" + b2_ins["path"] + "\0" + b2_ins["commit"]
+    del_mask2 = np.array(
+        [int(hashlib.sha256(k.encode()).hexdigest()[0], 16) < 2 for k in key2]
+    )
+    b3 = b2_ins.loc[del_mask2, ["repo", "path", "commit"]].copy()
+    assert len(b3) > 0
+    for c in ("lang", "content", "gold_cluster"):
+        b3[c] = pd.Series([None] * len(b3), dtype="string")
+    b3["op"] = "delete"
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    cols = ["repo", "path", "commit", "lang", "content", "gold_cluster", "op"]
+    for i, b in enumerate((b1, b2, b3), 1):
+        b[cols].to_parquet(os.path.join(input_dir, f"b{i}.parquet"), index=False)
+
+    q = streaming.stream_link_cdc(
+        spark,
+        input_dir,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+
+    state_dir = str(tmp_path / "state")
+    got = _canon(streaming.latest_clusters(spark, state_dir))
+
+    net = pd.concat(
+        [b1.loc[~del_mask], b2_ins.loc[~del_mask2]], ignore_index=True
+    ).drop(columns=["op"])
+    src = spark.createDataFrame(net)
+    expected = _canon(run_pipeline(spark, src)["clusters"])
+    assert got == expected
+
+    # merge-on-read shape: all three versions committed; only v2/v3 carry
+    # tombstones, feature dirs exist for the two insert batches only and
+    # are never rewritten (their row counts still sum to ALL inserts)
+    entries = streaming._read_manifest(state_dir)
+    assert [e["version"] for e in entries] == [1, 2, 3]
+    assert entries[0].get("deletes_path") is None
+    assert entries[1]["deletes_path"] and entries[2]["deletes_path"]
+    assert entries[2]["feature_dir"] is None  # delete-only version
+    dirs = streaming._feature_dirs(entries)
+    assert len(dirs) == 2
+    assert sum(spark.read.parquet(d).count() for d in dirs) == len(pdf)
+    # ...but the reconstructed state anti-joins the tombstones
+    st = streaming.latest_state(spark, state_dir)
+    assert st.features.count() == len(net)
+    # the ghost delete tombstoned nothing
+    tomb = spark.read.parquet(entries[1]["deletes_path"])
+    assert tomb.count() == len(deleted1)
