@@ -309,11 +309,32 @@ def q_unlink_clusters(spark, sf_dir):
     proves the delta repair is exactly equivalent to recomputing from
     scratch — including any cluster splits the deletions cause (GDPR
     erasure / KB-retraction semantics, the inverse of the KBP loop in
-    ``scripts/kbp_simulation.py:316-366``)."""
+    ``scripts/kbp_simulation.py:316-366``).
+
+    The full-corpus state is assembled from the harness's shared cached
+    stages (``_with_sig``/``_features``/``_clusters``) instead of a
+    second from-scratch ``link_batch`` — the feature kernels run once per
+    sweep, and the joined LinkState is identical to what ``link_batch``
+    returns (cluster ids are min(file_id) per component either way;
+    ``er_clusters`` and ``er_incremental_clusters`` pin that equivalence
+    against the same oracle closure)."""
     from blink_spark import incremental
 
+    state = incremental.LinkState(
+        features=_cached(
+            spark, sf_dir, "link_state_features",
+            # band_keys etc. from the signature stage, the embedding from
+            # the feature stage — a thin key join, no kernel rerun
+            lambda: _with_sig(spark, sf_dir)
+            .select([c for c in incremental.FEATURE_COLS if c != "embedding"])
+            .join(
+                _features(spark, sf_dir).select("file_id", "embedding"),
+                "file_id",
+            ),
+        ),
+        clusters=_clusters(spark, sf_dir),
+    )
     src = load_source(spark, sf_dir)
-    state = incremental.link_batch(None, src)
     is_del = F.substring(F.sha2(F.col("path"), 256), 1, 1).isin("0", "1")
     del_ids = ingest.ingest(src.filter(is_del)).select("file_id")
     return incremental.unlink_batch(state, del_ids).clusters
