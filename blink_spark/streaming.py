@@ -59,8 +59,9 @@ SOURCE_SCHEMA_NO_GOLD = (
     "repo string, path string, commit string, lang string, content string"
 )
 
-# CDC retract stream: each event is an insert (full row) or a delete
-# (key triple only — file_id = sha2(repo‖path‖commit) needs no payload)
+# CDC change stream: each event is an insert/update (full row) or a
+# delete (key triple only — file_id = sha2(repo‖path‖commit) needs no
+# payload); update = in-place correction of an existing key's payload
 CDC_SCHEMA = SOURCE_SCHEMA + ", op string"
 
 
@@ -106,14 +107,32 @@ def _append_manifest(state_dir: str, rec: dict) -> None:
         f.write((json.dumps(rec) + "\n").encode())
 
 
+def _entries_window(
+    entries: list[dict], up_to_version: int | None = None
+) -> list[dict]:
+    """Committed lines that contribute to state at a version: everything
+    from the latest ``reset`` line (a compaction that folded all earlier
+    dirs + tombstones into one rewritten dir) onward."""
+    es = sorted(
+        (
+            e
+            for e in entries
+            if up_to_version is None or e["version"] <= up_to_version
+        ),
+        key=lambda e: e["version"],
+    )
+    for i in range(len(es) - 1, -1, -1):
+        if es[i].get("reset"):
+            return es[i:]
+    return es
+
+
 def _feature_dirs(entries: list[dict], up_to_version: int | None = None) -> list[str]:
     """Cumulative feature-index dirs from the per-version manifest lines."""
-    es = sorted(entries, key=lambda e: e["version"])
     return [
         e["feature_dir"]
-        for e in es
+        for e in _entries_window(entries, up_to_version)
         if e.get("feature_dir")  # a delete-only CDC version adds no dir
-        and (up_to_version is None or e["version"] <= up_to_version)
     ]
 
 
@@ -122,12 +141,10 @@ def _delete_paths(entries: list[dict], up_to_version: int | None = None) -> list
     immutable, so a retraction is recorded as a per-version parquet of
     deleted file_ids, anti-joined at read time — the Iceberg
     position/equality-delete-file idiom, never a rewrite of old data."""
-    es = sorted(entries, key=lambda e: e["version"])
     return [
         e["deletes_path"]
-        for e in es
+        for e in _entries_window(entries, up_to_version)
         if e.get("deletes_path")
-        and (up_to_version is None or e["version"] <= up_to_version)
     ]
 
 
@@ -135,17 +152,50 @@ def _state_as_of(
     spark: SparkSession, entries: list[dict], version: int
 ) -> incremental.LinkState:
     """Reconstruct the LinkState at a committed version: cumulative feature
-    dirs minus cumulative tombstones (merge-on-read), plus that version's
-    assignment snapshot (already net of deletes)."""
+    dirs merged with cumulative tombstones (merge-on-read), plus that
+    version's assignment snapshot (already net of deletes).
+
+    Sequencing rule (the Iceberg equality-delete semantics): a tombstone
+    at version T masks feature rows from versions STRICTLY BEFORE T only —
+    so a key deleted at T and re-inserted at a later version resurfaces,
+    and an update's own replacement row (same version as its tombstone)
+    survives while the old row it shadows (earlier version) is masked.
+    This single rule is also a full dedupe: any key with more than one
+    feature row was retracted between the writes (updates and
+    delete+re-insert both tombstone the key), so after masking, exactly
+    one row per live key remains — no per-key window over the corpus.
+    Keys that never saw a tombstone skip the join entirely (anti-join on
+    the small tombstone set), so steady-state read cost is one multi-dir
+    scan plus a tombstone-sized join.
+    """
     pub = next(e for e in entries if e["version"] == version)
-    feats = spark.read.parquet(*_feature_dirs(entries, version))
-    dels = _delete_paths(entries, version)
-    if dels:
-        feats = feats.join(
-            spark.read.parquet(*dels).select("file_id"), "file_id", "left_anti"
+    es = _entries_window(entries, version)
+    feats = None
+    for e in es:
+        if e.get("feature_dir"):
+            df = spark.read.parquet(e["feature_dir"]).withColumn(
+                "_v", F.lit(e["version"])
+            )
+            feats = df if feats is None else feats.unionByName(df)
+    if feats is None:
+        raise FileNotFoundError("no committed feature dirs at this version")
+    tombs = None
+    for e in es:
+        if e.get("deletes_path"):
+            t = spark.read.parquet(e["deletes_path"]).select(
+                "file_id", F.lit(e["version"]).alias("_tv")
+            )
+            tombs = t if tombs is None else tombs.unionByName(t)
+    if tombs is not None:
+        latest_tomb = tombs.groupBy("file_id").agg(F.max("_tv").alias("_tv"))
+        feats = (
+            feats.join(latest_tomb, "file_id", "left")
+            .filter(F.col("_tv").isNull() | (F.col("_v") >= F.col("_tv")))
+            .drop("_tv")
         )
     return incremental.LinkState(
-        features=feats, clusters=spark.read.parquet(pub["clusters_path"])
+        features=feats.drop("_v"),
+        clusters=spark.read.parquet(pub["clusters_path"]),
     )
 
 
@@ -175,10 +225,13 @@ def make_batch_processor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        version = int(batch_id) + 1
         entries = _read_manifest(state_dir)
-        if any(e["version"] == version for e in entries):
+        if any(e.get("batch_id") == int(batch_id) for e in entries):
             return  # replayed micro-batch: already committed
+        # versions are allocated monotonically over ALL committed lines
+        # (stream batches AND maintenance compactions), so batch ids and
+        # versions may diverge once compact_cdc_state has run
+        version = max((e["version"] for e in entries), default=0) + 1
         latest = max(entries, key=lambda e: e["version"]) if entries else None
 
         if latest is None:
@@ -218,18 +271,22 @@ def make_cdc_batch_processor(
     tau: float | None = None,
     block_cap: int | None = None,
 ):
-    """foreachBatch callback for a CDC retract stream (``op`` column:
-    ``insert`` carries a full source row, ``delete`` needs only the key
-    triple — payload columns may be null).
+    """foreachBatch callback for a CDC change stream (``op`` column:
+    ``insert``/``update`` carry a full source row, ``delete`` needs only
+    the key triple — payload columns may be null).
 
-    Per micro-batch, inserts are linked first, then deletes are retracted
-    (delete-wins within one batch; producers that need
-    delete-then-reinsert of the SAME key must split it across batches —
-    the op sets carry no intra-batch ordering). Feature dirs stay
-    immutable: a retraction commits a per-version tombstone parquet of the
-    deleted file_ids that every later read anti-joins (merge-on-read), so
-    delete cost is O(affected clusters) repair + O(batch) tombstone I/O,
-    never a rewrite of accumulated state. Same crash protocol as
+    Per micro-batch, retractions apply against the PRIOR state first
+    (delete keys plus the keys of update rows), then insert+update rows
+    are linked — so ``update`` is an in-place correction of a row the
+    stream already carries (same file_id, new payload), and a delete of a
+    key inserted in the SAME batch does not retract it (the op sets carry
+    no intra-batch ordering; split retract-after-insert across batches).
+    Feature dirs stay immutable: a retraction commits a per-version
+    tombstone parquet of the retracted file_ids, and reconstruction
+    applies highest-version-wins per key with tombstones masking strictly
+    earlier versions (see :func:`_state_as_of`), so delete/update cost is
+    O(affected clusters) repair + O(batch) tombstone I/O, never a rewrite
+    of accumulated state. Same crash protocol as
     :func:`make_batch_processor` — manifest append is the commit point,
     every write is a deterministic function of the batch, replays of
     committed versions are no-ops.
@@ -243,46 +300,51 @@ def make_cdc_batch_processor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        version = int(batch_id) + 1
         entries = _read_manifest(state_dir)
-        if any(e["version"] == version for e in entries):
+        if any(e.get("batch_id") == int(batch_id) for e in entries):
             return  # replayed micro-batch: already committed
+        # versions are allocated monotonically over ALL committed lines
+        # (stream batches AND maintenance compactions), so batch ids and
+        # versions may diverge once compact_cdc_state has run
+        version = max((e["version"] for e in entries), default=0) + 1
         latest = max(entries, key=lambda e: e["version"]) if entries else None
         prior = (
             _state_as_of(spark, entries, latest["version"]) if latest else None
         )
 
         op = F.coalesce(F.col("op"), F.lit("insert"))
-        inserts = batch_df.filter(op != "delete").drop("op")
-        deletes = batch_df.filter(op == "delete")
+        upserts = batch_df.filter(op != "delete").drop("op")
+        # retract keys: explicit deletes + the keys update rows replace
+        retract = batch_df.filter((op == "delete") | (op == "update"))
 
-        state, feat_dir = prior, None
-        if not inserts.isEmpty():
-            feat_dir = os.path.join(
-                state_dir, "features", f"batch={int(batch_id)}"
-            )
-            incremental.batch_features(inserts).write.mode("overwrite").parquet(
-                feat_dir
-            )
-            state = incremental.link_features(
-                prior, spark.read.parquet(feat_dir), **link_kwargs
-            )
-
+        state = prior
         deletes_path = None
-        if not deletes.isEmpty() and state is not None:
-            del_ids = deletes.select(
+        if not retract.isEmpty() and prior is not None:
+            keys = retract.select(
                 ingest.file_id_col().alias("file_id")
             ).distinct()
-            # a delete for a never-inserted (or already-deleted) key is a
-            # no-op; only live ids repair clusters and need a tombstone
-            live = del_ids.join(state.clusters, "file_id", "left_semi")
+            # a retraction of a never-inserted (or already-deleted) key is
+            # a no-op; only live ids repair clusters and need a tombstone
+            live = keys.join(prior.clusters, "file_id", "left_semi")
             deletes_path = os.path.join(state_dir, f"deletes_v{version}")
             live.write.mode("overwrite").parquet(deletes_path)
             live_back = spark.read.parquet(deletes_path)
             if live_back.isEmpty():
                 deletes_path = None
             else:
-                state = incremental.unlink_batch(state, live_back, **link_kwargs)
+                state = incremental.unlink_batch(prior, live_back, **link_kwargs)
+
+        feat_dir = None
+        if not upserts.isEmpty():
+            feat_dir = os.path.join(
+                state_dir, "features", f"batch={int(batch_id)}"
+            )
+            incremental.batch_features(upserts).write.mode("overwrite").parquet(
+                feat_dir
+            )
+            state = incremental.link_features(
+                state, spark.read.parquet(feat_dir), **link_kwargs
+            )
 
         if state is None:
             return  # batch held only deletes against an empty state
@@ -338,9 +400,10 @@ def stream_link_cdc(
     tau: float | None = None,
     block_cap: int | None = None,
 ):
-    """Start (availableNow) a CDC retract-stream linkage: events carry an
-    ``op`` column (``insert``/``delete``); deletes retract rows and
-    delta-repair their clusters via :func:`incremental.unlink_batch`."""
+    """Start (availableNow) a CDC change-stream linkage: events carry an
+    ``op`` column (``insert``/``update``/``delete``); deletes and the old
+    versions under updates retract rows and delta-repair their clusters
+    via :func:`incremental.unlink_batch`."""
     os.makedirs(state_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -354,6 +417,41 @@ def stream_link_cdc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_cdc_state(spark: SparkSession, state_dir: str) -> dict:
+    """Maintenance compaction for a CDC state dir (run while the stream is
+    stopped — the availableNow pattern makes that the natural cadence):
+    fold the cumulative feature dirs MINUS the cumulative tombstones into
+    ONE rewritten dir and publish a ``reset`` manifest line, so subsequent
+    reads scan a single dir with zero tombstone joins. Merge-on-read keeps
+    per-batch cost O(delta); this is the copy-on-write counterpart that
+    bounds read amplification over a long-lived stream — Iceberg's
+    rewrite_data_files + rewrite_position_delete_files maintenance pair.
+
+    Crash-safe like every publish: the compacted dir is written first and
+    the manifest append IS the commit; a crash in between leaves an orphan
+    dir that discovery never trusts. Old dirs are not removed (earlier
+    versions stay readable); storage reclamation is a separate concern.
+    """
+    entries = _read_manifest(state_dir)
+    if not entries:
+        raise FileNotFoundError(f"no published state under {state_dir}")
+    pub = max(entries, key=lambda e: e["version"])
+    state = _state_as_of(spark, entries, pub["version"])
+    version = pub["version"] + 1
+    out = os.path.join(state_dir, "features", f"compacted_v{version}")
+    state.features.write.mode("overwrite").parquet(out)
+    rec = {
+        "version": version,
+        "batch_id": None,  # maintenance line: never matches a replay probe
+        "feature_dir": out,
+        "clusters_path": pub["clusters_path"],
+        "deletes_path": None,
+        "reset": True,
+    }
+    _append_manifest(state_dir, rec)
+    return rec
 
 
 def latest_clusters(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -228,3 +228,153 @@ def test_cdc_stream_with_deletes_equals_one_shot_on_net_corpus(spark, tmp_path):
     # the ghost delete tombstoned nothing
     tomb = spark.read.parquet(entries[1]["deletes_path"])
     assert tomb.count() == len(deleted1)
+
+
+def test_cdc_update_and_reinsert_semantics(spark, tmp_path):
+    """op=update replaces an existing key's payload in place (same
+    file_id, new content → old feature row shadowed by version
+    sequencing, cluster membership re-derived), and a key deleted in one
+    batch then re-inserted in a later one RESURFACES — the tombstone masks
+    strictly earlier versions only. Final state must equal the one-shot
+    pipeline over the corrected corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(ensure_fixture(0.001))
+    b1 = pdf.copy()
+    b1["op"] = "insert"
+
+    key = pdf["repo"] + "\0" + pdf["path"] + "\0" + pdf["commit"]
+    bucket = key.map(lambda k: int(hashlib.sha256(k.encode()).hexdigest()[0], 16))
+
+    # batch 2: update a slice in place (same key, mutated content) and
+    # delete a disjoint slice
+    upd_mask = (bucket < 3).to_numpy()
+    del_mask = ((bucket >= 3) & (bucket < 5)).to_numpy()
+    assert upd_mask.sum() > 0 and del_mask.sum() > 0
+    updates = pdf.loc[upd_mask].copy()
+    updates["content"] = updates["content"] + "\nmutated_for_cdc_update_test"
+    updates["op"] = "update"
+    deletes = pdf.loc[del_mask, ["repo", "path", "commit"]].copy()
+    for c in ("lang", "content", "gold_cluster"):
+        deletes[c] = pd.Series([None] * len(deletes), dtype="string")
+    deletes["op"] = "delete"
+    b2 = pd.concat([updates, deletes], ignore_index=True)
+
+    # batch 3: re-insert a sub-slice of the deleted keys verbatim
+    re_mask = ((bucket >= 3) & (bucket < 4)).to_numpy()
+    assert 0 < re_mask.sum() < del_mask.sum()
+    b3 = pdf.loc[re_mask].copy()
+    b3["op"] = "insert"
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    cols = ["repo", "path", "commit", "lang", "content", "gold_cluster", "op"]
+    for i, b in enumerate((b1, b2, b3), 1):
+        b[cols].to_parquet(os.path.join(input_dir, f"b{i}.parquet"), index=False)
+
+    q = streaming.stream_link_cdc(
+        spark,
+        input_dir,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+
+    # expected corpus: updates applied in place, only the never-re-inserted
+    # slice stays deleted
+    net = pdf.copy()
+    net.loc[upd_mask, "content"] = (
+        net.loc[upd_mask, "content"] + "\nmutated_for_cdc_update_test"
+    )
+    net = net.loc[~(del_mask & ~re_mask)]
+    expected = _canon(run_pipeline(spark, spark.createDataFrame(net))["clusters"])
+
+    state_dir = str(tmp_path / "state")
+    got = _canon(streaming.latest_clusters(spark, state_dir))
+    assert got == expected
+
+    # reconstructed features carry the UPDATED content hashes and the
+    # re-inserted keys, not the shadowed/deleted originals
+    st = streaming.latest_state(spark, state_dir)
+    assert st.features.count() == len(net)
+    from blink_spark import ingest as _ing
+
+    upd_ids = _ing.ingest(spark.createDataFrame(pdf.loc[upd_mask])).select(
+        "file_id", "content_sha"
+    )
+    joined = st.features.join(
+        upd_ids.withColumnRenamed("content_sha", "old_sha"), "file_id"
+    )
+    assert joined.count() == int(upd_mask.sum())
+    assert joined.filter("content_sha = old_sha").count() == 0
+
+
+def test_cdc_compaction_resets_dirs_and_preserves_state(spark, tmp_path):
+    """compact_cdc_state folds dirs+tombstones into one rewritten dir and
+    publishes a reset line: the reconstructed state is unchanged, later
+    reads scan only the compacted dir, new batches stack on top, and a
+    replayed pre-compaction batch is still skipped."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(ensure_fixture(0.001))
+    key = pdf["repo"] + "\0" + pdf["path"] + "\0" + pdf["commit"]
+    bucket = key.map(lambda k: int(hashlib.sha256(k.encode()).hexdigest()[0], 16))
+    del_mask = (bucket < 3).to_numpy()
+    late_mask = (bucket >= 13).to_numpy()
+    base = pdf.loc[~late_mask].copy()
+    assert del_mask[~late_mask].sum() > 0 and late_mask.sum() > 0
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    cols = ["repo", "path", "commit", "lang", "content", "gold_cluster", "op"]
+    proc = streaming.make_cdc_batch_processor(spark, state_dir)
+
+    b1 = base.copy()
+    b1["op"] = "insert"
+    proc(spark.createDataFrame(b1[cols]), 0)
+    dels = pdf.loc[del_mask & ~late_mask, ["repo", "path", "commit"]].copy()
+    for c in ("lang", "content", "gold_cluster"):
+        dels[c] = pd.Series([None] * len(dels), dtype="string")
+    dels["op"] = "delete"
+    proc(spark.createDataFrame(dels[cols]), 1)
+
+    before = _canon(streaming.latest_clusters(spark, state_dir))
+    feats_before = sorted(
+        r["file_id"]
+        for r in streaming.latest_state(spark, state_dir)
+        .features.select("file_id")
+        .collect()
+    )
+
+    rec = streaming.compact_cdc_state(spark, state_dir)
+    assert rec["reset"] is True and rec["version"] == 3
+
+    entries = streaming._read_manifest(state_dir)
+    # reads now see exactly one dir and zero tombstones
+    assert streaming._feature_dirs(entries) == [rec["feature_dir"]]
+    assert streaming._delete_paths(entries) == []
+    st = streaming.latest_state(spark, state_dir)
+    assert (
+        sorted(r["file_id"] for r in st.features.select("file_id").collect())
+        == feats_before
+    )
+    assert _canon(streaming.latest_clusters(spark, state_dir)) == before
+
+    # a replayed pre-compaction batch is still a no-op (batch_id probe,
+    # not version arithmetic)
+    proc(spark.createDataFrame(dels[cols]), 1)
+    assert streaming._read_manifest(state_dir) == entries
+
+    # new arrivals stack on the compacted base; final equals one-shot
+    b3 = pdf.loc[late_mask].copy()
+    b3["op"] = "insert"
+    proc(spark.createDataFrame(b3[cols]), 2)
+    net = pdf.loc[~del_mask | late_mask]
+    expected = _canon(run_pipeline(spark, spark.createDataFrame(net))["clusters"])
+    assert _canon(streaming.latest_clusters(spark, state_dir)) == expected
+    assert streaming._read_manifest(state_dir)[-1]["version"] == 4
