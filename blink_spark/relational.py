@@ -53,6 +53,7 @@ PRIORITY_LO = "1997-01-01 00:00:00"
 PRIORITY_HI = "1997-04-01 00:00:00"
 PRIORITY_MIN_DISC = 0.05
 PROMO_YEAR = 1997
+DISTRIBUTION_SINCE = "1998-06-01 00:00:00"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -372,6 +373,54 @@ def q_sql_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution histogram (TPC-H Q13 shape): LEFT OUTER join
+    preserving order-less customers, per-customer count, then a second
+    aggregation over the counts. Two shuffles total (custkey, then the
+    tiny count-value key); the outer join is the load-bearing part — an
+    inner join silently drops the zero-order bucket, the classic Q13
+    bug. At warehouse scale both sides are fact-sized, so the join
+    shuffles on c_custkey/o_custkey and AQE picks the build side. Only
+    orders since DISTRIBUTION_SINCE count (the Q13 comment-filter analog;
+    a literal predicate pushed to the orders scan) — which guarantees a
+    populated zero-orders bucket the outer join must preserve."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ntz(DISTRIBUTION_SINCE))
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        # count(col) skips nulls -> unmatched customers count 0
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(F.col("n_orders").cast("long").alias("n_orders"), "n_customers")
+    )
+
+
+def q_sql_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per group (TPC-H Q16 shape): suppliers shipping each
+    part type. ``countDistinct`` expands to a two-phase plan (partial
+    dedup on (p_type, l_suppkey) map-side, then the final distinct +
+    count after one shuffle) — never a driver-side set. ``part`` is a
+    bona-fide broadcast dim, so the fact scan joins without shuffling."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -383,6 +432,8 @@ QUERIES = {
     "sql_top_supplier": q_sql_top_supplier,
     "sql_big_orders": q_sql_big_orders,
     "sql_rollup_cube": q_sql_rollup_cube,
+    "sql_order_count_distribution": q_sql_order_count_distribution,
+    "sql_supplier_variety": q_sql_supplier_variety,
 }
 
 
@@ -542,4 +593,25 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
   round(sum({_DISC_PRICE}), 6)::DOUBLE + 0.0 AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+    sql["sql_order_count_distribution"] = f"""
+WITH recent AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{DISTRIBUTION_SINCE}'
+),
+per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN recent o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders"""
+
+    sql["sql_supplier_variety"] = """
+SELECT p.p_type,
+  count(DISTINCT l.l_suppkey) AS n_suppliers,
+  count(*) AS n_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type"""
     return sql

@@ -589,7 +589,152 @@ SELECT CAST(c.label AS BIGINT) AS label,
        CAST(min(c.vec_id) AS BIGINT) AS medoid_vec_id
 FROM costs c JOIN best b ON c.label = b.label AND abs(c.cost - b.mc) <= 1e-9
 GROUP BY c.label"""
+
+    # int8 scalar quantization: identical floor(x*127/m + 0.5) formula as
+    # the Spark side; quantized dot products are exact integers in double,
+    # so the comparison is bit-for-bit, not merely within-rounding.
+    _qn = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+qn AS (
+  SELECT vec_id,
+    CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x -> floor(x * 127.0 / m + 0.5)) END AS qv
+  FROM s
+),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM qn WHERE vec_id % {QUERY_MOD} = 0),
+p AS (
+  SELECT q.query_id, e2.vec_id AS neighbor_id,
+    CASE WHEN sqrt(list_dot_product(q.qq, q.qq))
+              * sqrt(list_dot_product(e2.qv, e2.qv)) = 0 THEN 0.0
+         ELSE list_dot_product(q.qq, e2.qv)
+              / (sqrt(list_dot_product(q.qq, q.qq))
+                 * sqrt(list_dot_product(e2.qv, e2.qv))) END AS qcosine
+  FROM q JOIN qn e2 ON e2.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id ASC
+  ) AS rank FROM p
+)"""
+    sql["emb_int8_topk"] = f"""
+WITH {_qn}
+SELECT query_id, rank, neighbor_id, (round(qcosine, 6) + 0.0) AS qcosine
+FROM r WHERE rank <= {TOP_K}"""
+
+    sql["emb_int8_recall"] = f"""
+WITH {_qn},
+quant AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {TOP_K}),
+fq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % {QUERY_MOD} = 0),
+ex_p AS (
+  SELECT fq.query_id, e2.vec_id AS neighbor_id,
+    list_dot_product(fq.v, e2.v)
+      / (sqrt(list_dot_product(fq.v, fq.v))
+         * sqrt(list_dot_product(e2.v, e2.v))) AS cosine
+  FROM fq JOIN e e2 ON e2.vec_id <> fq.query_id
+),
+ex_r AS (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM ex_p
+),
+exact AS (SELECT query_id, neighbor_id FROM ex_r WHERE rank <= {TOP_K}),
+m AS (
+  SELECT count(*) AS n_matched FROM exact SEMI JOIN quant
+    ON exact.query_id = quant.query_id
+    AND exact.neighbor_id = quant.neighbor_id
+),
+n AS (SELECT count(*) AS n_exact_pairs FROM exact)
+SELECT {TOP_K} AS k,
+  n.n_exact_pairs,
+  m.n_matched,
+  round(m.n_matched::DOUBLE / n.n_exact_pairs, 6) + 0.0 AS recall
+FROM m, n"""
     return sql
+
+
+def _int8_quantized(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the FAISS
+    ``SQ8``/``ScalarQuantizer`` serving trick, ``blink/indexer/
+    faiss_indexer.py:71-141`` index-size analog): q_i = round(v_i * 127 /
+    max|v|), stored 4× smaller than float32. Rounding is ``floor(x+0.5)``
+    — identical half-up semantics in Spark and DuckDB, so the oracle is
+    bit-exact; the quantized values are small integers, so every dot
+    product downstream is EXACT in double regardless of summation order.
+    Zero vectors quantize to zeros (guard on max|v| = 0)."""
+    m = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    df = df.withColumn("_m", m)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("_m") == 0, F.lit(0.0)).otherwise(
+            F.floor(x * F.lit(127.0) / F.col("_m") + F.lit(0.5)).cast("double")
+        ),
+    )
+    return df.withColumn("qv", qv).drop("_m", vec_col)
+
+
+def _int8_topk(emb: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Brute-force top-k over the QUANTIZED vectors — same plan as
+    :func:`_exact_topk` (broadcast query batch × partitioned corpus), but
+    every distance is computed on the 4×-compressed representation: the
+    memory-bandwidth-bound scan a 100 TB serving tier actually runs."""
+    qe = _int8_quantized(emb)
+    qq = _int8_quantized(
+        queries.select("query_id", F.col("q").alias("v"))
+    ).withColumnRenamed("qv", "qq")
+    pairs = qe.crossJoin(F.broadcast(qq)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    denom = _norm(F.col("qq")) * _norm(F.col("qv"))
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("qq"), F.col("qv")) / denom
+    )
+    pairs = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("qcosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def q_emb_int8_topk(spark, sf_dir):
+    """Top-k cosine retrieval over int8-quantized vectors (4× compression
+    serving path). Output mirrors ``emb_knn`` with the quantized score."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    return _int8_topk(emb, queries).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        _r6("qcosine", 6).alias("qcosine"),
+    )
+
+
+def q_emb_int8_recall(spark, sf_dir):
+    """Recall@k of the int8-quantized scan against the exact float
+    baseline — the compression/recall trade-off row a serving tier needs
+    before swapping float32 scans for SQ8. One output row:
+    (k, n_exact_pairs, n_matched, recall)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = _exact_topk(emb, queries).select("query_id", "neighbor_id")
+    quant = _int8_topk(emb, queries).select("query_id", "neighbor_id")
+    matched = exact.join(quant, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        matched.agg(F.count("*").alias("n_matched"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact_pairs")))
+        .select(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            _r6(
+                (F.col("n_matched") / F.col("n_exact_pairs")).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
 
 
 QUERIES = {
@@ -601,4 +746,6 @@ QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
     "emb_label_centroids": q_emb_label_centroids,
     "emb_label_medoid": q_emb_label_medoid,
+    "emb_int8_topk": q_emb_int8_topk,
+    "emb_int8_recall": q_emb_int8_recall,
 }

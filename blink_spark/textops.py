@@ -596,7 +596,12 @@ docs AS (SELECT *, {hashes} AS sh_hashes FROM d1)
 """
 
 
-def oracle_sqls() -> dict[str, str]:
+def oracle_sqls(sf: float = 0.01) -> dict[str, str]:
+    """DuckDB mirrors. ``sf`` selects the source_files fixture scale for
+    ``doc_line_dedup`` (the driver's harness runs at 0.01; the entry
+    contract test at 0.001) — all other queries read the driver-provided
+    ``documents`` view, which the harness already points at the right
+    scale."""
     c = _doc_cte()
     sql = {}
     sql["doc_exact_dedup"] = """
@@ -887,7 +892,149 @@ ranked AS (
 SELECT cluster_id, doc_id AS canonical_doc_id, quality, n_members
 FROM ranked WHERE rnk = 1"""
     ).replace("WITH d0 AS", "WITH RECURSIVE d0 AS", 1)
+
+    from blink_spark.fixtures import fixture_path
+
+    sql["doc_line_dedup"] = f"""
+WITH src AS (SELECT * FROM read_parquet('{fixture_path(sf)}')),
+l0 AS (
+  SELECT sha256(repo || chr(0) || path || chr(0) || commit) AS file_id,
+         trim(line) AS line
+  FROM src, unnest(string_split(content, chr(10))) AS u(line)
+),
+l1 AS (SELECT file_id, sha256(line) AS lh FROM l0 WHERE len(line) > 0),
+l2 AS (SELECT file_id, count(*) OVER (PARTITION BY lh) AS n_occ FROM l1),
+d AS (
+  SELECT file_id, count(*) AS n_lines,
+         CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_lines
+  FROM l2 GROUP BY file_id
+)
+SELECT file_id, n_lines, n_dup_lines,
+  round(n_dup_lines::DOUBLE / n_lines, 6) + 0.0 AS dup_line_frac
+FROM d"""
+
+    decon_sh = minhash.sql_shingles("tokens", k=DECON_N)
+    sql["doc_decontamination"] = f"""
+WITH t0 AS (SELECT doc_id, {minhash.sql_tokens('text')} AS tokens
+            FROM documents),
+sh AS (
+  SELECT doc_id, unnest({decon_sh}) AS g FROM t0
+),
+bench AS (
+  SELECT DISTINCT g AS bg FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, b.bg
+  FROM sh s LEFT JOIN bench b ON s.g = b.bg
+  WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+),
+d AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_contaminated,
+  round(n_contaminated::DOUBLE / n_shingles, 6) + 0.0 AS contamination_frac
+FROM d"""
     return sql
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """CCNet-style line-level (paragraph) dedup census over the
+    source-code corpus: per document, the fraction of its non-empty
+    trimmed lines that occur ≥2 times corpus-wide — the signal CCNet/C4
+    use to strip boilerplate (license headers, nav bars) before training.
+    Runs on the ``source_files`` fixture because its content is genuinely
+    multi-line (the ``documents`` fixture is single-line prose).
+
+    Plan (100 TB): explode to one row per line, key every line by its
+    sha256 (fixed-width shuffle key, no long-string comparisons), then
+    ONE shuffle on the hash computes corpus occurrence counts via a
+    partition window — no groupBy + join-back second shuffle — and a
+    final shuffle on file_id rolls up the per-document census. Line
+    payloads never survive the projection; only (file_id, lh) shuffles.
+    """
+    from blink_spark import ingest
+    from blink_spark.fixtures import ensure_fixture, sf_from_dir
+
+    src = spark.read.parquet(ensure_fixture(sf_from_dir(sf_dir)))
+    lines = (
+        src.select(
+            ingest.file_id_col().alias("file_id"),
+            F.explode(F.split("content", "\n", -1)).alias("raw"),
+        )
+        .select("file_id", F.trim(F.col("raw")).alias("line"))
+        .filter(F.length("line") > 0)
+        .select("file_id", F.sha2(F.col("line"), 256).alias("lh"))
+    )
+    occ = lines.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("lh"))
+    )
+    per_doc = occ.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_lines"),
+    )
+    return per_doc.select(
+        "file_id",
+        "n_lines",
+        "n_dup_lines",
+        _r6(
+            (F.col("n_dup_lines") / F.col("n_lines")).cast("double"), 6
+        ).alias("dup_line_frac"),
+    )
+
+
+# Decontamination: token n-gram width + the deterministic "benchmark"
+# subset (doc_id % MOD == 0 stands in for an eval suite's documents).
+DECON_N = 8
+DECON_BENCH_MOD = 50
+
+
+def q_doc_decontamination(spark, sf_dir):
+    """Eval-decontamination census: for every non-benchmark document, how
+    many of its distinct token 8-grams also appear in any benchmark
+    document (doc_id % 50 == 0 is the stand-in eval suite). The standard
+    pre-training hygiene op (GPT-3 appendix C / PaLM use 8-13 token
+    n-gram collision against eval sets).
+
+    Plan (100 TB): the benchmark side is an eval suite — thousands of
+    documents vs billions — so its distinct-shingle set is BROADCAST and
+    the corpus side probes it with a broadcast LEFT join: the corpus
+    never shuffles on shingle text. Per-doc rollup is one shuffle on
+    doc_id.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = minhash.tokens_col(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(minhash.shingles_col(toks, k=DECON_N)).alias("g"),
+    )
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD) == 0
+    bench = sh.filter(is_bench).select(F.col("g").alias("bg")).distinct()
+    corpus = sh.filter(~is_bench)
+    hits = corpus.join(F.broadcast(bench), corpus.g == bench.bg, "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("bg").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            _r6(
+                (F.col("n_contaminated") / F.col("n_shingles")).cast("double"),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
 
 
 QUERIES = {
@@ -905,4 +1052,6 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_canonical_pick": q_doc_canonical_pick,
     "doc_repetition": q_doc_repetition,
+    "doc_line_dedup": q_doc_line_dedup,
+    "doc_decontamination": q_doc_decontamination,
 }

@@ -68,7 +68,7 @@ def oracle_sqls(duck):
     return {
         **er_queries.oracle_sqls(sf=0.001),
         **relational.oracle_sqls(),
-        **textops.oracle_sqls(),
+        **textops.oracle_sqls(sf=0.001),
         **similarity.oracle_sqls(),
         **events.oracle_sqls(),
         **multimodal.oracle_sqls(),
