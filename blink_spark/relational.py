@@ -421,6 +421,82 @@ def q_sql_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_SHIP_LAG_DAYS = 90  # "late" = shipped > 90 days after the order date
+
+
+def q_sql_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, decorrelated):
+    for multi-supplier orders where EXACTLY ONE supplier shipped late,
+    charge that supplier. Q21's correlated EXISTS / NOT EXISTS pair is
+    expressed as two window distinct-counts over the order key — one
+    shuffle on l_orderkey instead of two correlated self-joins of the
+    fact table (this table has no commit/receipt dates, so "late" is a
+    >90-day ship lag vs the order date). lineitem⋈orders shuffles on the
+    order key; orders per key are tiny (≤7 lines), so the window state
+    is bounded and skew-free at any scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_LAG_DAYS} DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    j = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+    )
+    blamed = (
+        j.filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return blamed.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").cast("long").alias("n_waiting_orders")
+    )
+
+
+IDLE_SINCE = "1998-06-01 00:00:00"  # Q22's "no orders" on a corpus where
+# every customer has SOME order: idle = no order since this cutoff
+
+
+def q_sql_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-but-idle customers per nation (TPC-H Q22 shape): customers
+    with above-average positive balance and no recent orders. The scalar
+    subquery (global average) is one broadcast single-row crossJoin; the
+    NOT EXISTS is a ``left_anti`` shuffle join; ``nation`` is a broadcast
+    dim. Balance totals run in DECIMAL so the sum is order-independent."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("thr")
+    )
+    idle = cust.join(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ntz(IDLE_SINCE))
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    rich = idle.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("thr"))
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rich.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            _dbl(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")), "total_acctbal"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -434,6 +510,8 @@ QUERIES = {
     "sql_rollup_cube": q_sql_rollup_cube,
     "sql_order_count_distribution": q_sql_order_count_distribution,
     "sql_supplier_variety": q_sql_supplier_variety,
+    "sql_late_sole_supplier": q_sql_late_sole_supplier,
+    "sql_rich_idle_customers": q_sql_rich_idle_customers,
 }
 
 
@@ -614,4 +692,44 @@ SELECT p.p_type,
   count(*) AS n_lineitems
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type"""
+
+    sql["sql_late_sole_supplier"] = f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_LAG_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per AS (
+  SELECT *,
+    count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp,
+    count(DISTINCT CASE WHEN late THEN l_suppkey END)
+      OVER (PARTITION BY l_orderkey) AS n_late_supp
+  FROM j
+),
+blamed AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM per WHERE late AND n_supp >= 2 AND n_late_supp = 1
+)
+SELECT l_suppkey AS s_suppkey, count(*) AS n_waiting_orders
+FROM blamed GROUP BY 1"""
+
+    sql["sql_rich_idle_customers"] = f"""
+WITH thr AS (
+  SELECT avg(c_acctbal) AS thr FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{IDLE_SINCE}'
+),
+idle AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c ANTI JOIN recent o ON c.c_custkey = o.o_custkey
+)
+SELECT n.n_name,
+  count(*) AS n_customers,
+  round(sum(i.c_acctbal::DECIMAL(12,2))::DOUBLE, 6) + 0.0 AS total_acctbal
+FROM idle i, thr
+JOIN nation n ON i.c_nationkey = n.n_nationkey
+WHERE i.c_acctbal > thr.thr
+GROUP BY n.n_name"""
     return sql

@@ -120,11 +120,10 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
-def q_doc_quality(spark, sf_dir):
-    """Quality scoring: character-class ratios + stopword ratio combined
-    into a fixed logistic score (the NIL-predictor shape applied to
-    corpus filtering)."""
-    df = _with_tokens(load_documents(spark, sf_dir))
+def _quality_parts() -> dict[str, Column]:
+    """Shared quality expressions over (text, tokens) columns — used by
+    both the per-doc quality query and the mixture-allocation census so
+    the bucket boundaries are byte-identical between the two."""
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
@@ -138,13 +137,31 @@ def q_doc_quality(spark, sf_dir):
     space_r = F.when(n_chars > 0, space / n_chars).otherwise(F.lit(0.0))
     stop_r = F.when(n_tok > 0, stop_n / n_tok).otherwise(F.lit(0.0))
     z = F.lit(-1.0) + 3.0 * alpha_r + 2.0 * stop_r - 4.0 * digit_r
+    return {
+        "alpha_r": alpha_r,
+        "digit_r": digit_r,
+        "space_r": space_r,
+        "stop_r": stop_r,
+        "quality": 1.0 / (1.0 + F.exp(-z)),
+    }
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: character-class ratios + stopword ratio combined
+    into a fixed logistic score (the NIL-predictor shape applied to
+    corpus filtering)."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    p = _quality_parts()
+    alpha_r, digit_r, space_r, stop_r = (
+        p["alpha_r"], p["digit_r"], p["space_r"], p["stop_r"],
+    )
     return df.select(
         "doc_id",
         _r6(alpha_r, 6).alias("alpha_ratio"),
         _r6(digit_r, 6).alias("digit_ratio"),
         _r6(space_r, 6).alias("space_ratio"),
         _r6(stop_r, 6).alias("stopword_ratio"),
-        _r6(1.0 / (1.0 + F.exp(-z)), 6).alias("quality"),
+        _r6(p["quality"], 6).alias("quality"),
     )
 
 
@@ -938,6 +955,91 @@ d AS (
 SELECT doc_id, n_shingles, n_contaminated,
   round(n_contaminated::DOUBLE / n_shingles, 6) + 0.0 AS contamination_frac
 FROM d"""
+
+    sql["doc_pii_census"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0 THEN
+         ' contact user' || doc_id::VARCHAR || '@example.com or ops.admin+'
+         || doc_id::VARCHAR || '@mail.example.org' ELSE '' END
+    || CASE WHEN doc_id % {PII_IP_MOD} = 0 THEN
+         ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+         || ((doc_id * 7) % 256)::VARCHAR
+         || ' and host 192.168.1.' || (doc_id % 100)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % {PII_PHONE_MOD} = 0 THEN
+         ' call +1 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE '' END AS aug
+  FROM documents
+),
+c AS (
+  SELECT doc_id, aug,
+    len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(aug, '{PII_IP_RE}')) AS n_ips,
+    len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS n_phones,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{PII_IP_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+  (n_emails + n_ips + n_phones) AS n_pii,
+  sha256(redacted) AS redacted_sha
+FROM c"""
+
+    sql["doc_trigram_logprob"] = f"""
+WITH g0 AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(len(text) - {TRIGRAM_N - 1}, 1) + 1),
+      i -> substring(text, i, {TRIGRAM_N})) AS tris
+  FROM documents
+),
+g AS (SELECT doc_id, unnest(tris) AS g FROM g0),
+counts AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts),
+per AS (
+  SELECT doc_id, count(*) AS n_trigrams, avg(log2(cnt)) AS ml
+  FROM g JOIN counts USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams,
+  round(log2(total) - ml, 6) + 0.0 AS xent_bits
+FROM per, tot"""
+
+    sql["doc_mixture_allocation"] = c + f""",
+r AS (
+  SELECT d.doc_id, dd.lang, len(d.tokens) AS n_tok_cnt,
+    CASE WHEN len(d.text) > 0 THEN
+      CAST(len(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / len(d.text) ELSE 0.0 END AS alpha_r,
+    CASE WHEN len(d.text) > 0 THEN
+      CAST(len(regexp_replace(d.text, '[^0-9]', '', 'g')) AS DOUBLE)
+        / len(d.text) ELSE 0.0 END AS digit_r,
+    CASE WHEN len(d.tokens) > 0 THEN
+      CAST(len(list_filter(d.tokens, t -> list_contains([{stop_list}], t)))
+           AS DOUBLE) / len(d.tokens) ELSE 0.0 END AS stop_r
+  FROM docs d JOIN documents dd USING (doc_id)
+),
+q AS (
+  SELECT doc_id, lang, n_tok_cnt,
+    1.0 / (1.0 + exp(-(-1.0 + 3.0*alpha_r + 2.0*stop_r - 4.0*digit_r)))
+      AS quality
+  FROM r
+),
+b AS (
+  SELECT lang,
+    CASE WHEN quality >= {MIX_Q_HI} THEN 'high'
+         WHEN quality >= {MIX_Q_LO} THEN 'mid'
+         ELSE 'low' END AS quality_bucket,
+    count(*) AS n_docs,
+    sum(n_tok_cnt)::BIGINT AS n_tokens
+  FROM q GROUP BY 1, 2
+)
+SELECT lang, quality_bucket, n_docs, n_tokens,
+  round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) + 0.0 AS token_share
+FROM b"""
     return sql
 
 
@@ -1037,6 +1139,159 @@ def q_doc_decontamination(spark, sf_dir):
     )
 
 
+# --- PII census/redaction -------------------------------------------------
+# The driver's documents are synthetic word salad with zero natural PII, so
+# the query deterministically augments a subset of rows with synthetic
+# emails/IPs/phones derived from doc_id (the same stand-in pattern as
+# DECON_BENCH_MOD) — built identically in Spark and DuckDB, so the detector
+# and redactor are exercised on real positives AND negatives. Regexes stick
+# to character classes + bounded quantifiers, a dialect Java regex and RE2
+# agree on.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2} \d{3} \d{4}"
+PII_EMAIL_MOD, PII_IP_MOD, PII_PHONE_MOD = 7, 11, 13
+
+
+def _pii_augmented_col() -> Column:
+    d = F.col("doc_id")
+    s = d.cast("string")
+    email = F.when(
+        d % PII_EMAIL_MOD == 0,
+        F.concat(
+            F.lit(" contact user"), s, F.lit("@example.com or ops.admin+"),
+            s, F.lit("@mail.example.org"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % PII_IP_MOD == 0,
+        F.concat(
+            F.lit(" from 10."), (d % 256).cast("string"),
+            F.lit(".0."), ((d * 7) % 256).cast("string"),
+            F.lit(" and host 192.168.1."), (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % PII_PHONE_MOD == 0,
+        F.concat(
+            F.lit(" call +1 555 "), F.lpad((d % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def q_doc_pii_census(spark, sf_dir):
+    """PII detection + redaction census: per document, how many
+    emails/IPv4s/phone numbers a regex detector finds, plus the sha256 of
+    the REDACTED text (each class replaced by a <TYPE> token) — so the
+    redaction transform itself, not just the counter, is oracle-pinned.
+
+    Plan (100 TB): pure column expressions (regexp_count/replace run in
+    the JVM inside whole-stage codegen); no shuffle at all — the census
+    is embarrassingly parallel over document partitions, and only the
+    64-char sha leaves the scan, never the redacted payload."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    aug = docs.withColumn("aug", _pii_augmented_col())
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    n_e = F.regexp_count(F.col("aug"), F.lit(PII_EMAIL_RE)).cast("long")
+    n_i = F.regexp_count(F.col("aug"), F.lit(PII_IP_RE)).cast("long")
+    n_p = F.regexp_count(F.col("aug"), F.lit(PII_PHONE_RE)).cast("long")
+    return aug.select(
+        "doc_id",
+        n_e.alias("n_emails"),
+        n_i.alias("n_ips"),
+        n_p.alias("n_phones"),
+        (n_e + n_i + n_p).alias("n_pii"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+# --- char-trigram LM quality proxy -----------------------------------------
+TRIGRAM_N = 3
+
+
+def q_doc_trigram_logprob(spark, sf_dir):
+    """KenLM-ish perplexity proxy: a unigram LM over character trigrams
+    trained on the corpus itself, then each document scored by its mean
+    trigram cross-entropy in bits (low = typical of the corpus, high =
+    outlier — the standard cheap quality filter before a real LM exists).
+
+    Plan (100 TB): pass 1 counts trigrams (explode → map-side partial →
+    one shuffle on the trigram; the state is the trigram VOCABULARY,
+    ~|charset|³ regardless of corpus size). Pass 2 probes that vocabulary
+    with a BROADCAST join (the model is tiny by construction) and rolls
+    up per document — one shuffle on doc_id. The corpus total is a
+    1-row broadcast. Exactly the two-pass shape of TF-IDF above."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    ln = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(TRIGRAM_N - 1), F.lit(1)))
+    tri = F.transform(idx, lambda i: F.col("text").substr(i, F.lit(TRIGRAM_N)))
+    g = docs.select("doc_id", F.explode(tri).alias("g"))
+    counts = g.groupBy("g").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    per_doc = (
+        g.join(F.broadcast(counts), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.avg(F.log2("cnt")).alias("mean_log_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_trigrams",
+        _r6(F.log2("total") - F.col("mean_log_cnt"), 6).alias("xent_bits"),
+    )
+
+
+# --- training-mixture allocation census -------------------------------------
+MIX_Q_HI = 0.835  # ~75th pct of the corpus quality score
+MIX_Q_LO = 0.825  # ~25th pct
+
+
+def q_doc_mixture_allocation(spark, sf_dir):
+    """Training-mixture census: token budget per (lang, quality bucket) —
+    the table a data-mixture planner reads to weight sources before
+    sampling (the Pile/Dolma-style composition report). Buckets reuse the
+    exact quality expression of ``doc_quality``.
+
+    Plan (100 TB): one narrow scan → map-side partial agg → ONE shuffle
+    on the tiny (lang, bucket) key; the share computation is a window
+    over the already-aggregated ~|langs|×3-row result, essentially free."""
+    df = _with_tokens(load_documents(spark, sf_dir))
+    q = _quality_parts()["quality"]
+    bucket = (
+        F.when(q >= MIX_Q_HI, F.lit("high"))
+        .when(q >= MIX_Q_LO, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    agg = (
+        df.groupBy(F.col("lang"), bucket.alias("quality_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("tokens")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "lang",
+        "quality_bucket",
+        "n_docs",
+        "n_tokens",
+        _r6(
+            (F.col("n_tokens") / F.sum("n_tokens").over(w)).cast("double"), 6
+        ).alias("token_share"),
+    )
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -1054,4 +1309,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_line_dedup": q_doc_line_dedup,
     "doc_decontamination": q_doc_decontamination,
+    "doc_pii_census": q_doc_pii_census,
+    "doc_trigram_logprob": q_doc_trigram_logprob,
+    "doc_mixture_allocation": q_doc_mixture_allocation,
 }

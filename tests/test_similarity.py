@@ -135,3 +135,42 @@ def test_lsh_recall_improves_on_clustered_corpus(spark):
     row = similarity.lsh_recall(spark, emb, queries).collect()[0]
     assert row["recall"] >= 0.85, row
     assert row["scan_frac"] < 0.30, row
+
+
+def test_int8_quantization_edge_vectors(spark):
+    """Zero vectors quantize to zeros (no div-by-zero); constant vectors
+    hit exactly ±127; quantized components are integer-valued doubles
+    (the exact-dot-product precondition the oracle relies on)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0] * 4),
+            (1, [3.5, 3.5, 3.5, 3.5]),
+            (2, [-2.0, 1.0, 0.5, -0.25]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    rows = {r.vec_id: r.qv for r in similarity._int8_quantized(emb).collect()}
+    assert rows[0] == [0.0, 0.0, 0.0, 0.0]
+    assert rows[1] == [127.0, 127.0, 127.0, 127.0]
+    # max|v| = 2.0 -> scale 63.5; floor(x*63.5 + 0.5): floor is toward
+    # -inf, so -0.25 -> floor(-15.375) = -16 (not symmetric round-half-up)
+    assert rows[2] == [-127.0, 64.0, 32.0, -16.0]
+    for qv in rows.values():
+        assert all(x == int(x) and -127.0 <= x <= 127.0 for x in qv)
+
+
+def test_int8_topk_high_recall_on_clustered_corpus(spark):
+    """On the clustered fixture the 4x-compressed scan must agree with the
+    exact float top-k almost everywhere — quantization noise is far below
+    the inter-cluster cosine gap."""
+    emb, queries = _clustered_corpus(spark)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity._exact_topk(emb, queries).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity._int8_topk(emb, queries).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
