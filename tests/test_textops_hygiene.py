@@ -1,0 +1,119 @@
+"""Edge-case pins for the corpus-hygiene ops added late in round 3:
+PII detection/redaction (tricky negatives: version strings, five-octet
+runs, bare '@'), the trigram-LM scorer on degenerate short texts, and the
+decontamination census's benchmark-side exclusion invariant."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from blink_spark import textops
+
+
+def _pii_counts(spark, text, doc_id=1):
+    # doc_id=1 matches none of the augmentation mods -> aug == text
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    df = df.withColumn("aug", textops._pii_augmented_col())
+    row = df.select(
+        F.regexp_count("aug", F.lit(textops.PII_EMAIL_RE)).alias("e"),
+        F.regexp_count("aug", F.lit(textops.PII_IP_RE)).alias("i"),
+        F.regexp_count("aug", F.lit(textops.PII_PHONE_RE)).alias("p"),
+    ).collect()[0]
+    return row.e, row.i, row.p
+
+
+def test_pii_positives(spark):
+    assert _pii_counts(spark, "mail bob.smith+x@sub.example.co.uk now") == (1, 0, 0)
+    assert _pii_counts(spark, "ping 10.0.0.1 then 192.168.1.255") == (0, 2, 0)
+    assert _pii_counts(spark, "call +44 123 4567 today") == (0, 0, 1)
+
+
+def test_pii_tricky_negatives(spark):
+    # version strings and bare @ must not fire
+    assert _pii_counts(spark, "upgrade to v1.2.3 or 2.0 now") == (0, 0, 0)
+    assert _pii_counts(spark, "user @ host, see docs") == (0, 0, 0)
+    # unspaced phone-like digits don't match the phone pattern
+    assert _pii_counts(spark, "id +15550142 is not a phone") == (0, 0, 0)
+
+
+def test_pii_five_octet_run_counts_once(spark):
+    # \b\d{1,3}(\.\d{1,3}){3}\b on "1.2.3.4.5": the first window
+    # "1.2.3.4" ends before '.5' where \b holds between '4' and '.'.
+    # Pin the behavior (exactly one match, same in the DuckDB oracle's
+    # RE2) so a regex edit can't silently change the census.
+    assert _pii_counts(spark, "path 1.2.3.4.5 deep") == (0, 1, 0)
+
+
+def test_pii_redaction_removes_all_matches(spark):
+    df = spark.createDataFrame(
+        [(7 * 11 * 13, "base text")], "doc_id long, text string"
+    )  # doc_id hits all three augmentation mods
+    aug = df.withColumn("aug", textops._pii_augmented_col())
+    red = aug.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("aug"), textops.PII_EMAIL_RE, "<EMAIL>"
+                ),
+                textops.PII_IP_RE,
+                "<IP>",
+            ),
+            textops.PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("r")
+    ).collect()[0].r
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+    for pat in (textops.PII_EMAIL_RE, textops.PII_IP_RE, textops.PII_PHONE_RE):
+        assert (
+            spark.range(1)
+            .select(F.regexp_count(F.lit(red), F.lit(pat)).alias("n"))
+            .collect()[0]
+            .n
+            == 0
+        )
+
+
+def test_trigram_logprob_short_and_repetitive_docs(spark):
+    rows = [
+        (0, "ab"),        # shorter than n: the text itself is the one gram
+        (1, "aaaaaaaa"),  # one distinct trigram, highest corpus count
+        (2, "abcdefgh"),  # all-distinct trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import blink_spark.textops as t
+
+    orig = t.load_documents
+    t.load_documents = lambda _s, _d: df
+    try:
+        out = {r.doc_id: r for r in t.q_doc_trigram_logprob(spark, "x").collect()}
+    finally:
+        t.load_documents = orig
+    assert out[0].n_trigrams == 1
+    assert out[1].n_trigrams == 6
+    assert out[2].n_trigrams == 6
+    # the repetitive doc is the most "typical" under its own LM: lower
+    # cross-entropy than the all-distinct doc
+    assert out[1].xent_bits < out[2].xent_bits
+
+
+def test_decontamination_excludes_benchmark_docs_from_output(spark):
+    import blink_spark.textops as t
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in
+            range(0, 120, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = t.load_documents
+    t.load_documents = lambda _s, _d: df
+    try:
+        out = t.q_doc_decontamination(spark, "x").collect()
+    finally:
+        t.load_documents = orig
+    ids = {r.doc_id for r in out}
+    assert all(i % t.DECON_BENCH_MOD != 0 for i in ids)
+    # every non-benchmark doc here shares its 8-gram with doc 0/50/100
+    assert all(r.n_contaminated == r.n_shingles for r in out)
