@@ -613,6 +613,52 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_US = 7 * DAY_US
+
+
+def q_evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the growth-analytics staple: users are
+    cohorted by their first-event week, and each cell reports how many of
+    that cohort were active N weeks later (plus the retained fraction).
+
+    Plan (100 TB): first-event week is ONE shuffle on user_id (min agg);
+    activity weeks are a distinct over (user, week) — combinable, same
+    shuffle key family; the cohort join is user-keyed (co-partitioned
+    with both aggregates, AQE reuses the exchange). The final census is a
+    tiny (weeks × offsets) table; the retained fraction divides by the
+    offset-0 cohort size via a window over that tiny result — nothing
+    user-sized ever sits on the driver. Integer microsecond week math is
+    bit-identical to the DuckDB oracle regardless of session timezone."""
+    us = ts_us_col()
+    ev = load_events(spark, sf_dir).select(
+        "user_id", (us - us % WEEK_US).alias("week_us")  # pure int64 math
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("week_us").alias("cohort_us"))
+    cells = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_us",
+            ((F.col("week_us") - F.col("cohort_us")) / WEEK_US)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_us")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return cells.select(
+        "cohort_us",
+        "week_offset",
+        "n_active",
+        _r6((F.col("n_active") / cohort_size).cast("double"), 6).alias(
+            "retained_frac"
+        ),
+    )
+
+
 QUERIES = {
     "evt_windowed_rollup": q_evt_windowed_rollup,
     "evt_daily_rollup": q_evt_daily_rollup,
@@ -621,6 +667,7 @@ QUERIES = {
     "evt_value_quantiles": q_evt_value_quantiles,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
+    "evt_retention_cohorts": q_evt_retention_cohorts,
 }
 
 
@@ -635,6 +682,25 @@ SELECT event_type,
        count(*) AS n_events,
        {p_cols}
 FROM events GROUP BY event_type"""
+
+    sql["evt_retention_cohorts"] = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) - epoch_us(ts) % {WEEK_US} AS week_us
+  FROM events
+),
+fw AS (SELECT user_id, min(week_us) AS cohort_us FROM ev GROUP BY 1),
+cells AS (
+  SELECT cohort_us,
+         ((week_us - cohort_us) / {WEEK_US})::BIGINT AS week_offset,
+         count(*) AS n_active
+  FROM ev JOIN fw USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort_us, week_offset, n_active,
+  round(n_active::DOUBLE
+        / max(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_us), 6) + 0.0 AS retained_frac
+FROM cells"""
 
     sql["evt_windowed_rollup"] = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,

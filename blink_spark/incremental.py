@@ -222,7 +222,9 @@ def unlink_batch(
     retraction that needs a pruned member's features raises rather than
     silently mis-clustering.
     """
+    to_release = []
     del_ids = deleted_ids.select("file_id").distinct().persist()
+    to_release.append(del_ids)
     affected = (
         state.clusters.join(del_ids, "file_id", "left_semi")
         .select("cluster_id")
@@ -232,6 +234,7 @@ def unlink_batch(
     survivors = (
         members.join(del_ids, "file_id", "left_anti").select("file_id").persist()
     )
+    to_release.append(survivors)
     # Persist AND materialize the repair input before link_features — the
     # same discipline link_batch applies to batch features: the scoring
     # join builds several independent broadcasts, and an unpersisted
@@ -240,6 +243,7 @@ def unlink_batch(
     # build — concurrent JNI-critical Arrow batches are exactly what
     # starves the GC locker on small-heap sessions.
     surv_feat = state.features.join(survivors, "file_id", "left_semi").persist()
+    to_release.append(surv_feat)
     n_survivors, n_with_feat = survivors.count(), surv_feat.count()
     rehydrated = None
     if n_with_feat < n_survivors:
@@ -269,7 +273,19 @@ def unlink_batch(
                 "the affected clusters — retraction would mis-cluster"
             )
         surv_feat = surv_feat.unionByName(rehydrated).persist()
+        to_release.append(surv_feat)
     repaired = link_features(None, surv_feat, tau, block_cap)
+    # The CC fixpoint inside link_features already ran EAGERLY (per-round
+    # localCheckpoints), so checkpointing the final assignment here only
+    # materializes the O(affected-survivors) projection — after which the
+    # repair intermediates can be released immediately. A long-running
+    # retraction loop must not accumulate pinned blocks across calls
+    # waiting for the ContextCleaner (the GC-locker starvation failure
+    # mode documented in BASELINE.md). `rehydrated` stays persisted: it
+    # feeds the RETURNED features union and is O(missing) rows.
+    repaired_clusters = repaired.clusters.localCheckpoint(eager=True)
+    for df in to_release:
+        df.unpersist()
     kept = state.clusters.join(affected, "cluster_id", "left_anti")
     remaining_feat = state.features.join(del_ids, "file_id", "left_anti")
     if rehydrated is not None:
@@ -281,7 +297,7 @@ def unlink_batch(
         remaining_feat = remaining_feat.unionByName(rehydrated)
     return LinkState(
         features=remaining_feat,
-        clusters=kept.unionByName(repaired.clusters),
+        clusters=kept.unionByName(repaired_clusters),
     )
 
 

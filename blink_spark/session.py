@@ -76,6 +76,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # AQE re-renders the explain string on EVERY runtime plan update
+        # (AdaptiveSparkPlanExec.onUpdatePlan) even with the UI off; on a
+        # lineage-heavy DAG (a multi-batch incremental chain) the default
+        # unbounded render itself OOMs the driver building a plan STRING
+        # (observed: OutOfMemoryError in QueryExecution.explainString
+        # during localCheckpoint). 1 MiB keeps every diagnostic readable
+        # and bounds the render cost.
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # bucketed-table warehouse (scale path for the feature join); kept
         # out of the repo tree

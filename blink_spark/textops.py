@@ -1040,6 +1040,41 @@ b AS (
 SELECT lang, quality_bucket, n_docs, n_tokens,
   round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) + 0.0 AS token_share
 FROM b"""
+
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in BM25_QUERIES
+        for t in dict.fromkeys(q.split())
+    )
+    sql["doc_bm25_search"] = f"""
+WITH t0 AS (SELECT doc_id, {minhash.sql_tokens('text')} AS tokens
+            FROM documents),
+toks AS (SELECT doc_id, unnest(tokens) AS term FROM t0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+na AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {qrows}),
+hits AS (
+  SELECT q.query_id, tf.doc_id,
+    ln((na.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+      * (tf.tf * ({BM25_K1} + 1))
+      / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / na.avgdl))
+      AS part
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+       JOIN dl USING (doc_id), na
+),
+scored AS (
+  SELECT query_id, doc_id, sum(part) AS score
+  FROM hits GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, rank, doc_id, (round(score, 6) + 0.0) AS score
+FROM r WHERE rank <= {BM25_TOP_K}"""
     return sql
 
 
@@ -1292,6 +1327,84 @@ def q_doc_mixture_allocation(spark, sf_dir):
     )
 
 
+# --- BM25 keyword retrieval --------------------------------------------------
+# The full-scale analog of the reference's Solr keyword-candidate source
+# (blink/candidate_retrieval/ J5): an inverted-index scoring pass instead
+# of an external search service. Query strings are fixed constants (a
+# search workload is part of the query, like TOP_K elsewhere).
+BM25_QUERIES = [
+    (0, "spark table scan"),
+    (1, "customer order value"),
+    (2, "window batch stream"),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def q_doc_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval: score every document against a fixed
+    3-query workload, return the top-10 per query (score desc, doc_id
+    asc — exact ties break deterministically because equal integer
+    inputs produce bit-equal scores in both engines).
+
+    Plan (100 TB): explode tokens → ONE combinable shuffle builds the
+    (doc_id, term, tf) postings; document frequencies and lengths are
+    VOCABULARY- and CORPUS-ROW-sized aggregates of that table; the query
+    side is a handful of terms — broadcast — so the postings table is
+    filtered to query terms BEFORE any further shuffle (an inverted-
+    index probe, never a corpus×queries cross). Top-k is one window
+    over the per-query candidate set."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(minhash.tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_and_avg = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in BM25_QUERIES
+            for t in dict.fromkeys(q.split())  # distinct, order-stable
+        ],
+        "query_id long, term string",
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.sum(idf * tf_norm).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            _r6(F.col("score"), 6).alias("score"),
+        )
+    )
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -1312,4 +1425,5 @@ QUERIES = {
     "doc_pii_census": q_doc_pii_census,
     "doc_trigram_logprob": q_doc_trigram_logprob,
     "doc_mixture_allocation": q_doc_mixture_allocation,
+    "doc_bm25_search": q_doc_bm25_search,
 }

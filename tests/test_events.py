@@ -293,3 +293,40 @@ def test_rollup_timezone_independent(spark):
         assert first["bucket_us"] == 1_704_067_200_000_000
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_retention_cohorts_sparse_fixture(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    # Two cohorts: users 1,2 start week 0 (1=retained through wk2,
+    # 2=churns after wk0); user 3 starts week 1 and stays through wk2.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-02 00:00:00", 2),
+        (3, "2024-01-08 12:00:00", 1),   # user 1, week 1
+        (4, "2024-01-16 00:00:00", 1),   # user 1, week 2
+        (5, "2024-01-10 00:00:00", 3),   # user 3 first seen week 1
+        (6, "2024-01-17 00:00:00", 3),   # user 3, week 2
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F_to_ntz("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    monkeypatch.setattr(events, "load_events", lambda _s, _d: df)
+    out = {
+        (r.cohort_us, r.week_offset): (r.n_active, r.retained_frac)
+        for r in events.q_evt_retention_cohorts(spark, "x").collect()
+    }
+    wk = events.WEEK_US
+    c0 = (1704067200000000 // wk) * wk  # week containing 2024-01-01
+    c1 = c0 + wk
+    assert out[(c0, 0)] == (2, 1.0)
+    assert out[(c0, 1)] == (1, 0.5)
+    assert out[(c0, 2)] == (1, 0.5)
+    assert out[(c1, 0)] == (1, 1.0)
+    assert out[(c1, 1)] == (1, 1.0)
+    assert set(out) == {(c0, 0), (c0, 1), (c0, 2), (c1, 0), (c1, 1)}

@@ -19,9 +19,26 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest
+
 from blink_spark import incremental
 from blink_spark.fixtures import ensure_fixture
 from blink_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(autouse=True)
+def _release_cached_state(spark):
+    """Each test here builds persisted LinkStates and localCheckpointed CC
+    rounds in the module-shared local[4] JVM; without an explicit flush
+    the pinned blocks accumulate across tests faster than the lazy
+    ContextCleaner frees them, and the LAST test in the file dies with
+    `java.lang.OutOfMemoryError: Java heap space` during a broadcast
+    build (observed twice in full-suite runs, 2026-08-20). clearCache
+    drops every persisted frame; the System.gc nudge lets the
+    ContextCleaner reap the checkpoint RDDs the dropped frames pinned."""
+    yield
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
 
 
 def _canon(clusters):
