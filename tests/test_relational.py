@@ -145,3 +145,31 @@ def test_big_orders_having_bound(spark):
     # one row per qualifying order (the join-back must not duplicate)
     keys = [r["o_orderkey"] for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_late_sole_supplier_single_order_shuffle_no_selfjoin(spark):
+    df = relational.q_sql_late_sole_supplier(spark, SF_DIR)
+    plan = _plan(df)
+    # the Q21 EXISTS/NOT-EXISTS pair must be window distinct-counts, not
+    # correlated self-joins of the fact table: exactly ONE join (li x
+    # orders) and at least one Window over l_orderkey
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rich_idle_customers_anti_join_and_broadcast_dim(spark):
+    df = relational.q_sql_rich_idle_customers(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    # nation dim + the 1-row scalar threshold both broadcast
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_order_count_distribution_outer_join_preserves_zero_bucket(spark):
+    df = relational.q_sql_order_count_distribution(spark, SF_DIR)
+    rows = {r.n_orders: r.n_customers for r in df.collect()}
+    # the cutoff guarantees order-less customers exist; an inner join
+    # would silently drop this bucket (the classic Q13 bug)
+    assert 0 in rows and rows[0] > 0

@@ -117,3 +117,35 @@ def test_decontamination_excludes_benchmark_docs_from_output(spark):
     assert all(i % t.DECON_BENCH_MOD != 0 for i in ids)
     # every non-benchmark doc here shares its 8-gram with doc 0/50/100
     assert all(r.n_contaminated == r.n_shingles for r in out)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bm25_probe_side_broadcasts(spark):
+    df = textops.q_doc_bm25_search(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # query terms + df dictionary + corpus stats all broadcast: the
+    # postings never shuffle on the term for the probe
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_trigram_lm_model_broadcasts(spark):
+    df = textops.q_doc_trigram_logprob(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # the trigram-count "model" is vocabulary-sized -> broadcast probe;
+    # the 1-row total is a broadcast nested-loop, never a cartesian
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_census_is_scan_only(spark):
+    df = textops.q_doc_pii_census(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # embarrassingly parallel: no exchange of any kind in the plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
