@@ -451,6 +451,94 @@ def sessionize_stream(
     )
 
 
+ATTRIB_WINDOW_US = DAY_US  # view -> purchase attribution horizon
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase event is
+    joined to every view by the same user within the preceding 24 h —
+    the attribution-window primitive (and the streaming generalization
+    of the reference's mention->candidate alignment joins,
+    ``blink/main_dense.py:125-148``, where both sides arrive over time
+    in the KBP replay, ``scripts/kbp_simulation.py:316-366``).
+
+    Scale notes (100 TB): both sides shuffle once on ``user_id`` (the
+    equi-key Spark extracts from the condition); the time-range bounds
+    let the state store evict views older than
+    ``watermark_purchase - 24h`` and purchases behind their own
+    watermark, so per-executor state is sized by the attribution
+    horizon, never the stream's history.  Inner-join matches emit as
+    soon as both rows are present — the watermark governs state
+    eviction only, so an availableNow drain yields exactly the batch
+    range-join result (the DuckDB oracle)."""
+
+    def _side(name: str) -> DataFrame:
+        ev = with_event_time(
+            read_events_stream(spark, input_dir, max_files_per_trigger)
+        ).where(F.col("event_type") == name)
+        return ev.select(
+            F.col("event_id").alias(f"{name}_event_id"),
+            F.col("user_id").alias(f"{name}_user_id"),
+            ts_us_col("ts").alias(f"{name}_ts_us"),
+            F.col("event_time").alias(f"{name}_time"),
+        ).withWatermark(f"{name}_time", watermark)
+
+    v, p = _side("view"), _side("purchase")
+    cond = (
+        (v.view_user_id == p.purchase_user_id)
+        & (p.purchase_time >= v.view_time)
+        & (p.purchase_time <= v.view_time + F.expr("INTERVAL 24 HOURS"))
+    )
+    return v.join(p, cond, "inner").select(
+        "view_event_id",
+        "purchase_event_id",
+        F.col("view_user_id").alias("user_id"),
+        (
+            F.round(
+                (F.col("purchase_ts_us") - F.col("view_ts_us")) / 1e6, 6
+            )
+            + F.lit(0.0)
+        ).alias("gap_s"),
+    )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+    delay: str = "35 days",
+) -> DataFrame:
+    """Watermarked streaming deduplication
+    (``dropDuplicatesWithinWatermark`` on ``event_id``): re-delivered
+    events — at-least-once sources replay whole files/offset ranges —
+    are dropped while their key is inside the watermark horizon, and
+    the key state is evicted once the watermark passes it, so state is
+    sized by the re-delivery window, not the stream's history.  The
+    streaming analog of the batch exact-dedup collapse
+    (``textops.py`` ``doc_exact_dedup``); at 100 TB the horizon (here
+    35 days, sized to cover the whole fixture span so the oracle is the
+    table at rest) would be the source's actual replay bound."""
+    ev = with_event_time(
+        read_events_stream(spark, input_dir, max_files_per_trigger)
+    )
+    return (
+        ev.withWatermark("event_time", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_us_col("ts").alias("ts_us"),
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -497,7 +585,7 @@ def q_evt_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stage_stream_input(
-    sf_dir: str, n_chunks: int = 3, sentinel: bool = False
+    sf_dir: str, n_chunks: int = 3, sentinel: bool = False, dup: bool = False
 ) -> str:
     """Write the events table as time-ordered parquet chunks with strictly
     increasing mtimes — the arrival order a real stream would have (the
@@ -542,6 +630,11 @@ def _stage_stream_input(
                 }
             )
         )
+    if dup:
+        # re-deliver the OLDEST chunk after everything else has arrived
+        # (worst case for a dedup horizon): an at-least-once source
+        # replaying its first file
+        chunks.append(chunks[0].copy())
     now = time.time()
     for i, chunk in enumerate(chunks):
         p = os.path.join(input_dir, f"chunk{i}.parquet")
@@ -613,6 +706,46 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hard oracle gate: the
+    events table replayed as time-ordered micro-batches through the
+    watermarked view<->purchase join must produce value-identical
+    attribution pairs to one DuckDB range-join pass over the table at
+    rest."""
+    input_dir = _stage_stream_input(sf_dir)
+    name = _run_to_memory(
+        interval_join_stream(spark, input_dir, max_files_per_trigger=1),
+        "append",
+    )
+    t = spark.table(name)
+    return t.select(
+        "view_event_id",
+        "purchase_event_id",
+        "user_id",
+        (F.col("gap_s") + F.lit(0.0)).alias("gap_s"),
+    )
+
+
+def q_evt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup under the hard oracle gate: the
+    events table replayed as micro-batches PLUS a re-delivered copy of
+    the oldest chunk (an at-least-once replay) must, after
+    ``dropDuplicatesWithinWatermark`` on ``event_id``, equal exactly
+    the table at rest."""
+    input_dir = _stage_stream_input(sf_dir, dup=True)
+    name = _run_to_memory(
+        dedup_stream(spark, input_dir, max_files_per_trigger=1), "append"
+    )
+    t = spark.table(name)
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        (F.col("value") + F.lit(0.0)).alias("value"),
+    )
+
+
 WEEK_US = 7 * DAY_US
 
 
@@ -667,6 +800,8 @@ QUERIES = {
     "evt_value_quantiles": q_evt_value_quantiles,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
+    "evt_stream_stream_join": q_evt_stream_stream_join,
+    "evt_stream_dedup": q_evt_stream_dedup,
     "evt_retention_cohorts": q_evt_retention_cohorts,
 }
 
@@ -756,6 +891,28 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    # the streaming interval join must equal the batch range join over
+    # the table at rest (independent formulation: DuckDB evaluates the
+    # inequality pair directly, Spark routes it through watermarked
+    # join state)
+    sql["evt_stream_stream_join"] = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+           FROM events)
+SELECT v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       v.user_id AS user_id,
+       round((p.ts_us - v.ts_us) / 1000000.0, 6) + 0.0 AS gap_s
+FROM e v JOIN e p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + {ATTRIB_WINDOW_US}"""
+
+    # dedup of the replayed-duplicates stream == the table at rest
+    sql["evt_stream_dedup"] = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       round(value, 6) + 0.0 AS value
+FROM events"""
 
     # independent formulation on purpose: DuckDB's native ASOF JOIN
     # cross-checks the union-and-window implementation.  (user_id, ts)
