@@ -70,12 +70,19 @@ def test_bucketed_join_matches_broadcast_and_prunes_exchanges(
     scored_plain = scoring.score_pairs(pairs, features, broadcast_features=False)
     scored_bcast = scoring.score_pairs(pairs, features, broadcast_features=True)
 
-    got_b = _pairset(scored_bucketed)
-    assert got_b == _pairset(scored_bcast)
-
+    # capture the INITIAL plans before any action: once a query executes,
+    # executedPlan() returns the AQE final plan, which is not comparable
+    # exchange-for-exchange against another query's initial plan
     plan_b = scored_bucketed._jdf.queryExecution().executedPlan().toString()
     plan_p = scored_plain._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan_b
+    # the planner exploits the bucketing: no Exchange sits on top of any
+    # bucketed feature scan (the wide side never reshuffles) ...
+    assert bucketing.feature_side_shuffles(scored_bucketed) == 0
+    # ... which makes the bucketed plan strictly cheaper in exchanges
     assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
         "Exchange hashpartitioning"
     )
+
+    got_b = _pairset(scored_bucketed)
+    assert got_b == _pairset(scored_bcast)
