@@ -706,6 +706,39 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24 h window features (count / sum / avg of the
+    user's events in the 24 h up to and including each event) — the
+    RANGE-frame window primitive behind velocity/abuse features and
+    trailing engagement metrics.
+
+    Plan (100 TB): ONE shuffle keyed on ``user_id`` (high cardinality —
+    never partition a running window by a low-cardinality column like
+    event_type, which would serialize the corpus through a handful of
+    tasks), then a sort within partitions; Spark evaluates the RANGE
+    frame with a sliding two-pointer over each user's sorted events, so
+    cost is O(events per user), not O(frame²).  Integer-µs frame bounds
+    are bit-identical to the DuckDB oracle's ``RANGE BETWEEN n
+    PRECEDING`` (both ends inclusive in both engines, pinned in
+    tests/test_events.py)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", ts_us_col("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTRIB_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        (F.round(F.sum("value").over(w), 6) + F.lit(0.0)).alias("sum_24h"),
+        (F.round(F.avg("value").over(w), 6) + F.lit(0.0)).alias("avg_24h"),
+    )
+
+
 def q_evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join under the hard oracle gate: the
     events table replayed as time-ordered micro-batches through the
@@ -800,6 +833,7 @@ QUERIES = {
     "evt_value_quantiles": q_evt_value_quantiles,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
+    "evt_rolling_window": q_evt_rolling_window,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_stream_dedup": q_evt_stream_dedup,
     "evt_retention_cohorts": q_evt_retention_cohorts,
@@ -891,6 +925,17 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    sql["evt_rolling_window"] = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events)
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_24h,
+       round(sum(value) OVER w, 6) + 0.0 AS sum_24h,
+       round(avg(value) OVER w, 6) + 0.0 AS avg_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {ATTRIB_WINDOW_US} PRECEDING AND CURRENT ROW)"""
 
     # the streaming interval join must equal the batch range join over
     # the table at rest (independent formulation: DuckDB evaluates the

@@ -408,3 +408,43 @@ def test_dedup_stream_drops_redelivered_chunk(spark, tmp_path):
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(pdf)          # every original event survives
     assert len(set(ids)) == len(ids)     # exactly once
+
+
+def test_rolling_window_frame_bounds_inclusive(spark):
+    """RANGE frame semantics pinned on a constructed edge: an event
+    EXACTLY 24 h older is inside the frame; one microsecond older is
+    out.  (Both engines treat RANGE bounds as inclusive — this is the
+    contract the DuckDB oracle relies on.)"""
+    import pandas as pd
+
+    base = 1_700_000_000_000_000
+    w = events.ATTRIB_WINDOW_US
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 8],
+            "ts": pd.to_datetime(
+                [base - w - 1, base - w, base, base], unit="us"
+            ),
+            "event_type": ["view"] * 4,
+            "value": [100.0, 10.0, 1.0, 5.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    import blink_spark.events as ev_mod
+
+    orig = ev_mod.load_events
+    try:
+        ev_mod.load_events = lambda s, d: sdf
+        out = {
+            r.event_id: (r.n_24h, r.sum_24h)
+            for r in ev_mod.q_evt_rolling_window(spark, "ignored").collect()
+        }
+    finally:
+        ev_mod.load_events = orig
+    # event 3's frame: event 2 (exactly 24h older, IN) but not event 1
+    # (24h + 1us older, OUT); event 4 is another user entirely
+    assert out[3] == (2, 11.0)
+    assert out[1] == (1, 100.0)
+    assert out[4] == (1, 5.0)
