@@ -706,6 +706,57 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB sketch swap, made verifiable: per event_type, the
+    exact distinct-user count and exact p50/p99 (oracle-comparable
+    value-for-value) PLUS booleans asserting Spark's mergeable sketches
+    — ``approx_count_distinct`` (HyperLogLog++, default rsd 5%) and
+    ``approx_percentile`` (KLL-style, accuracy 10000 → rank error
+    ≤1/10000) — land within their published error bounds on the same
+    data.  The oracle states the bounds as literals, so a sketch
+    regression (or an engine upgrade that breaks determinism) flips a
+    hash-green row red.  Both sketches aggregate map-side and merge —
+    at scale they replace the exact forms with no extra shuffle."""
+    ev = load_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.approx_count_distinct("user_id").cast("long").alias("_hll"),
+        F.percentile("value", F.lit([0.5, 0.99])).alias("_ex"),
+        F.percentile_approx(
+            "value", F.lit([0.5, 0.99]), F.lit(10000)
+        ).alias("_ap"),
+    )
+    hll_rel_err = F.abs(F.col("_hll") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    )
+    # KLL guarantees rank error, not value error: the approx pN must sit
+    # between the exact values at ranks N%±1% (comfortably wider than
+    # the 1/10000 configured bound, robust to interpolation-vs-exact-
+    # element differences between the two estimators)
+    exact_band = F.percentile(
+        "value", F.lit([0.49, 0.51, 0.98, 1.0])
+    )
+    band = ev.groupBy("event_type").agg(exact_band.alias("_b"))
+    j = agg.join(band, "event_type")
+    return j.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        _r6(F.element_at("_ex", 1)).alias("p50_exact"),
+        _r6(F.element_at("_ex", 2)).alias("p99_exact"),
+        (hll_rel_err <= F.lit(0.15)).alias("hll_within_3rsd"),
+        (
+            (F.element_at("_ap", 1) >= F.element_at("_b", 1))
+            & (F.element_at("_ap", 1) <= F.element_at("_b", 2))
+        ).alias("p50_approx_in_band"),
+        (
+            (F.element_at("_ap", 2) >= F.element_at("_b", 3))
+            & (F.element_at("_ap", 2) <= F.element_at("_b", 4))
+        ).alias("p99_approx_in_band"),
+    )
+
+
 def q_evt_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trailing-24 h window features (count / sum / avg of the
     user's events in the 24 h up to and including each event) — the
@@ -833,6 +884,7 @@ QUERIES = {
     "evt_value_quantiles": q_evt_value_quantiles,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
+    "evt_sketch_accuracy": q_evt_sketch_accuracy,
     "evt_rolling_window": q_evt_rolling_window,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_stream_dedup": q_evt_stream_dedup,
@@ -925,6 +977,20 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    # exact columns compared value-for-value; the sketch columns are
+    # error-bound BOOLEANS the oracle states as literals — a sketch
+    # drifting outside its published bound flips the row red
+    sql["evt_sketch_accuracy"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users_exact,
+       round(quantile_cont(value, 0.5), 6) + 0.0 AS p50_exact,
+       round(quantile_cont(value, 0.99), 6) + 0.0 AS p99_exact,
+       TRUE AS hll_within_3rsd,
+       TRUE AS p50_approx_in_band,
+       TRUE AS p99_approx_in_band
+FROM events GROUP BY event_type"""
 
     sql["evt_rolling_window"] = f"""
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
