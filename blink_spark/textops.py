@@ -1075,6 +1075,17 @@ r AS (
 )
 SELECT query_id, rank, doc_id, (round(score, 6) + 0.0) AS score
 FROM r WHERE rank <= {BM25_TOP_K}"""
+
+    pivot_cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE lang = '{lg}') AS n_{lg},\n       "
+        f"coalesce(sum(n_chars) FILTER (WHERE lang = '{lg}'), 0)::BIGINT "
+        f"AS chars_{lg}"
+        for lg in PIVOT_LANGS
+    )
+    sql["doc_lang_source_pivot"] = f"""
+SELECT source,
+       {pivot_cols}
+FROM documents GROUP BY source"""
     return sql
 
 
@@ -1405,6 +1416,45 @@ def q_doc_bm25_search(spark, sf_dir):
     )
 
 
+# --- lang × source PIVOT census ---------------------------------------------
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_doc_lang_source_pivot(spark, sf_dir):
+    """Corpus composition as a wide crosstab: one row per source, a
+    (doc-count, char-volume) column pair per language — the PIVOT shape
+    every mixture dashboard renders.
+
+    Plan (100 TB): ``groupBy(source).pivot(lang, PIVOT_LANGS)`` with the
+    value list supplied explicitly — Spark then plans ONE hash aggregate
+    with pivot-conditional expressions (map-side partials, single
+    shuffle on source); omitting the list would trigger a full extra
+    distinct-scan just to discover the pivot columns, and would make the
+    output schema data-dependent.  Absent cells surface as NULL and are
+    canonicalized to 0 (the DuckDB mirror's FILTER aggregates yield the
+    same zeros)."""
+    docs = load_documents(spark, sf_dir)
+    p = (
+        docs.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    cols = [F.col("source")]
+    for lg in PIVOT_LANGS:
+        cols.append(
+            F.coalesce(F.col(f"{lg}_n"), F.lit(0)).cast("long").alias(f"n_{lg}")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{lg}_chars"), F.lit(0))
+            .cast("long")
+            .alias(f"chars_{lg}")
+        )
+    return p.select(*cols)
+
+
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_stats": q_doc_token_stats,
@@ -1426,4 +1476,5 @@ QUERIES = {
     "doc_trigram_logprob": q_doc_trigram_logprob,
     "doc_mixture_allocation": q_doc_mixture_allocation,
     "doc_bm25_search": q_doc_bm25_search,
+    "doc_lang_source_pivot": q_doc_lang_source_pivot,
 }

@@ -149,3 +149,28 @@ def test_pii_census_is_scan_only(spark):
     # embarrassingly parallel: no exchange of any kind in the plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lang_source_pivot_is_single_aggregate(spark):
+    df = textops.q_doc_lang_source_pivot(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    # explicit pivot values -> no extra distinct-scan to discover
+    # columns; Spark's pivot is the two-level aggregate (corpus shuffles
+    # ONCE on (source, lang) partials; the second exchange re-keys only
+    # the pre-aggregated cell table on source).  "Exchange (" matches
+    # tree nodes once; the details section renders them as "(N)
+    # Exchange".
+    assert plan.count("Exchange (") <= 2
+    # one corpus scan feeds the whole crosstab, column-pruned to the
+    # three referenced columns
+    assert plan.count("+- Scan parquet") == 1
+    assert "ReadSchema: struct<lang:string,source:string,n_chars:bigint>" in plan
+    assert "CartesianProduct" not in plan
+    rows = {r.source: r for r in df.collect()}
+    # absent (lang, source) cells canonicalize to 0, never NULL
+    assert all(
+        getattr(r, c) is not None
+        for r in rows.values()
+        for c in df.columns
+        if c != "source"
+    )
