@@ -1086,6 +1086,52 @@ FROM r WHERE rank <= {BM25_TOP_K}"""
 SELECT source,
        {pivot_cols}
 FROM documents GROUP BY source"""
+
+    sql["doc_chunk_sliding"] = c + f"""
+, d AS (SELECT doc_id, tokens, len(tokens) AS n FROM docs
+        WHERE len(tokens) > 0),
+s AS (SELECT doc_id, tokens,
+             unnest(range(0, n, {CHUNK_STRIDE})) AS start FROM d)
+SELECT doc_id,
+       (start // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       len(tokens[start + 1 : start + {CHUNK_TOKENS}])::BIGINT
+         AS n_chunk_tokens,
+       sha256(array_to_string(tokens[start + 1 : start + {CHUNK_TOKENS}],
+                              ' ')) AS chunk_sha
+FROM s"""
+
+    # the same greedy fill state machine, replayed as a recursive CTE
+    # stepping row_number-by-row_number within each shard
+    sql["doc_pack_sequences"] = c + f"""
+, d AS (
+  SELECT doc_id,
+         least(len(tokens), {PACK_BUDGET})::BIGINT AS n_tokens,
+         (doc_id % {PACK_SHARDS})::BIGINT AS shard
+  FROM docs
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM d
+),
+p AS (
+  WITH RECURSIVE walk AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           0::BIGINT AS seq_id, 0::BIGINT AS pos_in_seq,
+           n_tokens AS fill
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN w.fill + r.n_tokens > {PACK_BUDGET}
+                THEN w.seq_id + 1 ELSE w.seq_id END,
+           CASE WHEN w.fill + r.n_tokens > {PACK_BUDGET}
+                THEN 0::BIGINT ELSE w.pos_in_seq + 1 END,
+           CASE WHEN w.fill + r.n_tokens > {PACK_BUDGET}
+                THEN r.n_tokens ELSE w.fill + r.n_tokens END
+    FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+  )
+  SELECT * FROM walk
+)
+SELECT doc_id, shard, seq_id, pos_in_seq, n_tokens FROM p"""
     return sql
 
 
@@ -1416,6 +1462,110 @@ def q_doc_bm25_search(spark, sf_dir):
     )
 
 
+# --- context-window chunking -------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_doc_chunk_sliding(spark, sf_dir):
+    """Sliding-window context chunking: each document fans out into
+    overlapping CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens —
+    the chunk table an embedding/pretraining pipeline feeds to the
+    model.  Chunks carry their token count and a content sha for
+    downstream chunk-level dedup (trailing windows shorter than a full
+    chunk are emitted; packers drop or dedup them by sha).
+
+    Plan (100 TB): entirely JVM-side array ops — ``sequence`` generates
+    the starts, ``explode`` fans out, ``slice`` takes the window, sha on
+    the joined slice; no shuffle at all (embarrassingly parallel per
+    document) and no Python in the path."""
+    df = _with_tokens(load_documents(spark, sf_dir)).select("doc_id", "tokens")
+    n = F.size("tokens")
+    df = df.where(n > 0).select(
+        "doc_id",
+        "tokens",
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("tokens", F.col("start") + 1, CHUNK_TOKENS)
+    return df.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.sha2(F.concat_ws(" ", chunk), 256).alias("chunk_sha"),
+    )
+
+
+# --- greedy sequence packing -------------------------------------------------
+PACK_BUDGET = 512   # token budget per packed training sequence
+PACK_SHARDS = 8     # shards packed independently (parallelism unit)
+
+
+def _pack_shard(pdf):
+    """Greedy first-fit-in-doc_id-order packing of one shard.  The scan
+    is inherently sequential (each placement depends on the running
+    fill), so it runs as a plain loop over the shard's (doc_id,
+    n_tokens) pairs — payload text never enters the frame, and the loop
+    is O(docs/shard) scalar ops, parallel ACROSS shards."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    n = pdf["n_tokens"].to_numpy()
+    seq = np.empty(len(n), dtype=np.int64)
+    pos = np.empty(len(n), dtype=np.int64)
+    s = p = 0
+    fill = 0
+    for i, ni in enumerate(n):
+        if fill + ni > PACK_BUDGET and i > 0:
+            s += 1
+            p = 0
+            fill = 0
+        seq[i] = s
+        pos[i] = p
+        fill += ni
+        p += 1
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "shard": pdf["shard"].to_numpy(),
+            "seq_id": seq,
+            "pos_in_seq": pos,
+            "n_tokens": n,
+        }
+    )
+
+
+def q_doc_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing — the context-window packing step of a
+    pretraining data pipeline: documents (token counts clipped to the
+    budget) are packed first-fit in doc_id order into training
+    sequences of ≤ PACK_BUDGET tokens, independently within
+    ``doc_id % PACK_SHARDS`` shards.
+
+    Plan (100 TB): exact greedy packing is sequential by nature, so the
+    scalable form is shard-parallel — ONE shuffle keyed on shard, then
+    ``applyInPandas`` scans each shard's (doc_id, n_tokens) pairs;
+    document text never moves, only the two integers per doc.  Shard
+    count scales with the cluster; sequence identity is (shard,
+    seq_id).  The DuckDB oracle replays the same greedy recurrence as a
+    recursive CTE — an independent formulation of the fill state
+    machine."""
+    df = _with_tokens(load_documents(spark, sf_dir)).select(
+        "doc_id",
+        F.least(F.size("tokens"), F.lit(PACK_BUDGET))
+        .cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
+    )
+    return df.groupBy("shard").applyInPandas(
+        _pack_shard,
+        "doc_id long, shard long, seq_id long, pos_in_seq long, "
+        "n_tokens long",
+    )
+
+
 # --- lang × source PIVOT census ---------------------------------------------
 PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -1477,4 +1627,6 @@ QUERIES = {
     "doc_mixture_allocation": q_doc_mixture_allocation,
     "doc_bm25_search": q_doc_bm25_search,
     "doc_lang_source_pivot": q_doc_lang_source_pivot,
+    "doc_chunk_sliding": q_doc_chunk_sliding,
+    "doc_pack_sequences": q_doc_pack_sequences,
 }

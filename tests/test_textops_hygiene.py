@@ -174,3 +174,59 @@ def test_lang_source_pivot_is_single_aggregate(spark):
         for c in df.columns
         if c != "source"
     )
+
+
+def test_chunk_sliding_covers_every_token_exactly(spark):
+    chunks = textops.q_doc_chunk_sliding(spark, "/root/testdata/sf0.001")
+    rows = chunks.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    toks = {
+        r.doc_id: r.n_tokens
+        for r in textops.q_doc_token_stats(
+            spark, "/root/testdata/sf0.001"
+        ).select("doc_id", "n_tokens").collect()
+    }
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        n = toks[doc_id]
+        # contiguous chunk ids, every chunk non-empty and ≤ CHUNK_TOKENS
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert all(0 < r.n_chunk_tokens <= textops.CHUNK_TOKENS for r in rs)
+        # the last window reaches the end of the document: its start +
+        # length == n (slice clamps), and one more stride would be empty
+        last = rs[-1]
+        assert last.chunk_idx * textops.CHUNK_STRIDE + last.n_chunk_tokens == n
+        assert (last.chunk_idx + 1) * textops.CHUNK_STRIDE >= n
+    # every non-empty doc chunked
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    packed = textops.q_doc_pack_sequences(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in packed:
+        seqs[(r.shard, r.seq_id)].append(r)
+    for (shard, seq_id), rs in seqs.items():
+        rs.sort(key=lambda r: r.pos_in_seq)
+        # positions contiguous from 0; fill never exceeds the budget
+        assert [r.pos_in_seq for r in rs] == list(range(len(rs)))
+        assert sum(r.n_tokens for r in rs) <= textops.PACK_BUDGET
+    # greedy tightness: consecutive sequences in a shard could not be
+    # merged (first doc of seq k+1 does not fit in seq k)
+    by_shard = defaultdict(dict)
+    for (shard, seq_id), rs in seqs.items():
+        by_shard[shard][seq_id] = rs
+    for shard, m in by_shard.items():
+        for k in range(len(m) - 1):
+            fill_k = sum(r.n_tokens for r in m[k])
+            first_next = min(m[k + 1], key=lambda r: r.pos_in_seq)
+            assert fill_k + first_next.n_tokens > textops.PACK_BUDGET
+    # every doc packed exactly once
+    ids = [r.doc_id for r in packed]
+    assert len(ids) == len(set(ids)) == 500
