@@ -497,6 +497,88 @@ def q_sql_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit of the star schema: key
+    uniqueness, referential integrity, completeness, and value-range
+    constraints, reported as one (constraint, n_checked, n_violations)
+    row each — the contract table a warehouse publishes alongside every
+    load.
+
+    Plan (100 TB): every check is a single-pass aggregate over only the
+    referenced columns (uniqueness via countDistinct, ranges via
+    conditional counts), or ONE shuffle join on the key for referential
+    integrity (left join + null-probe count — at fact-vs-fact size the
+    right plan; AQE picks the build side).  The report itself is
+    constraint-count-sized."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _agg_check(df, name, violation_cond):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.count(F.when(violation_cond, F.lit(1)))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(F.lit(name).alias("constraint"), "n_checked", "n_violations")
+
+    def _unique_check(df, name, *cols):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct(*cols))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(F.lit(name).alias("constraint"), "n_checked", "n_violations")
+
+    def _fk_check(child, fk, parent, pk, name):
+        probe = parent.select(F.col(pk).alias("__pk")).distinct()
+        return _agg_check(
+            child.join(probe, F.col(fk) == F.col("__pk"), "left"),
+            name,
+            F.col("__pk").isNull(),
+        )
+
+    checks = [
+        _unique_check(cust, "customer.c_custkey unique", "c_custkey"),
+        _unique_check(orders, "orders.o_orderkey unique", "o_orderkey"),
+        _unique_check(
+            li,
+            "lineitem.(l_orderkey,l_linenumber) unique",
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        _fk_check(
+            orders, "o_custkey", cust, "c_custkey",
+            "orders.o_custkey -> customer.c_custkey",
+        ),
+        _fk_check(
+            li, "l_orderkey", orders, "o_orderkey",
+            "lineitem.l_orderkey -> orders.o_orderkey",
+        ),
+        _agg_check(
+            li,
+            "lineitem.l_quantity in [1,50]",
+            ~F.col("l_quantity").between(1, 50)
+            | F.col("l_quantity").isNull(),
+        ),
+        _agg_check(
+            li,
+            "lineitem.l_discount in [0,0.1]",
+            ~F.col("l_discount").between(0.0, 0.1)
+            | F.col("l_discount").isNull(),
+        ),
+        _agg_check(
+            orders,
+            "orders.o_totalprice positive",
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -512,6 +594,7 @@ QUERIES = {
     "sql_supplier_variety": q_sql_supplier_variety,
     "sql_late_sole_supplier": q_sql_late_sole_supplier,
     "sql_rich_idle_customers": q_sql_rich_idle_customers,
+    "sql_constraint_audit": q_sql_constraint_audit,
 }
 
 
@@ -732,4 +815,45 @@ FROM idle i, thr
 JOIN nation n ON i.c_nationkey = n.n_nationkey
 WHERE i.c_acctbal > thr.thr
 GROUP BY n.n_name"""
+    sql["sql_constraint_audit"] = """
+SELECT 'customer.c_custkey unique' AS constraint,
+       count(*)::BIGINT AS n_checked,
+       (count(*) - count(DISTINCT c_custkey))::BIGINT AS n_violations
+FROM customer
+UNION ALL
+SELECT 'orders.o_orderkey unique', count(*)::BIGINT,
+       (count(*) - count(DISTINCT o_orderkey))::BIGINT
+FROM orders
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber) unique', count(*)::BIGINT,
+       (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey -> customer.c_custkey', count(*)::BIGINT,
+       count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders.o_orderkey', count(*)::BIGINT,
+       count(*) FILTER (WHERE o.o_orderkey IS NULL)::BIGINT
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]', count(*)::BIGINT,
+       count(*) FILTER (
+         WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+       )::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_discount in [0,0.1]', count(*)::BIGINT,
+       count(*) FILTER (
+         WHERE l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1
+       )::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_totalprice positive', count(*)::BIGINT,
+       count(*) FILTER (
+         WHERE o_totalprice IS NULL OR o_totalprice <= 0
+       )::BIGINT
+FROM orders"""
     return sql

@@ -173,3 +173,64 @@ def test_order_count_distribution_outer_join_preserves_zero_bucket(spark):
     # the cutoff guarantees order-less customers exist; an inner join
     # would silently drop this bucket (the classic Q13 bug)
     assert 0 in rows and rows[0] > 0
+
+
+def test_constraint_audit_zero_on_clean_and_fires_on_dirty(spark, monkeypatch):
+    clean = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in relational.q_sql_constraint_audit(spark, SF_DIR).collect()
+    }
+    assert len(clean) == 8
+    # the driver's synthetic lineitem genuinely duplicates
+    # (l_orderkey, l_linenumber) pairs — the audit catching a real
+    # data-quality defect in the testdata; pin it against an
+    # independent count, everything else is clean
+    li_real = relational._t(spark, SF_DIR, "lineitem")
+    dup_rows = (
+        li_real.count()
+        - li_real.select("l_orderkey", "l_linenumber").distinct().count()
+    )
+    assert dup_rows > 0
+    assert clean["lineitem.(l_orderkey,l_linenumber) unique"][1] == dup_rows
+    assert all(
+        v == 0
+        for k, (_, v) in clean.items()
+        if k != "lineitem.(l_orderkey,l_linenumber) unique"
+    )
+
+    # dirty micro-tables: dup keys, orphan FKs, out-of-range values
+    cust = spark.createDataFrame(
+        [(1, "a", 1, 0.0, "m"), (1, "b", 1, 0.0, "m")],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, None, "p"), (11, 99, "O", -1.0, None, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 1, 1, 1, 77.0, 1.0, 0.5, 0.0, "N", "O", None),
+            (10, 1, 1, 1, 5.0, 1.0, 0.05, 0.0, "N", "O", None),
+            (12, 1, 1, 2, 5.0, 1.0, 0.05, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    tabs = {"customer": cust, "orders": orders, "lineitem": li}
+    monkeypatch.setattr(relational, "_t", lambda s, d, name: tabs[name])
+    dirty = {
+        r.constraint: (r.n_checked, r.n_violations)
+        for r in relational.q_sql_constraint_audit(spark, SF_DIR).collect()
+    }
+    assert dirty["customer.c_custkey unique"] == (2, 1)
+    assert dirty["orders.o_custkey -> customer.c_custkey"] == (2, 1)
+    assert dirty["lineitem.l_orderkey -> orders.o_orderkey"] == (3, 1)
+    assert dirty["lineitem.(l_orderkey,l_linenumber) unique"] == (3, 1)
+    assert dirty["lineitem.l_quantity in [1,50]"] == (3, 1)
+    assert dirty["lineitem.l_discount in [0,0.1]"] == (3, 1)
+    assert dirty["orders.o_totalprice positive"] == (2, 1)
