@@ -261,6 +261,71 @@ def q_match_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_er_pagerank(spark, sf_dir):
+    """PageRank over the symmetric match-edge graph (3 fixed power
+    iterations, d=0.85) — the hub-record diagnostic: high-rank nodes
+    are the records gluing many matches together, exactly the ones
+    worth human review when a cluster looks over-merged (the
+    review-routing complement of ``er_review_queue``; the reference
+    eyeballs such hubs via its score-stat dumps,
+    ``scripts/analysis_tools.py``).
+
+    Plan (100 TB): the classic edge-partitioned iteration — each step
+    is one shuffle of the rank vector on ``src`` (join with edges) and
+    one on ``dst`` (contribution sum); the graph itself never
+    re-materializes.  Every node of the symmetric graph has in- and
+    out-degree ≥ 1, so there is no dangling mass and the iteration is a
+    pure join+agg pipeline.  The DuckDB oracle unrolls the same three
+    iterations as CTEs — an independent evaluation order whose double
+    sums agree to ~1e-16, far inside the 6dp hash rounding."""
+    edges = _edges(spark, sf_dir)
+    sym = (
+        edges.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), "deg", "n", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(contrib, ranks.node == contrib.dst)
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    F.lit(1.0 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.col("c")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("deg").cast("long").alias("degree"),
+        _r6(F.col("r"), 6).alias("pagerank"),
+    )
+
+
 def q_clusters(spark, sf_dir):
     """Stage D connected components (KBP clustering analog)."""
     return _clusters(spark, sf_dir)
@@ -1090,6 +1155,30 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                )}
              FROM bp""",
         "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
+        # 3 power iterations unrolled over the same `sym` CTE the
+        # closure oracle uses; an independent evaluation order of the
+        # identical recurrence
+        "er_pagerank": c + f"""
+, deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT d.src AS node, d.deg, 1.0 / nn.n AS r FROM deg d, nn),
+c1 AS (SELECT s.dst AS node, sum(r.r / r.deg) AS c
+       FROM sym s JOIN r0 r ON s.src = r.node GROUP BY s.dst),
+r1 AS (SELECT d.src AS node, d.deg,
+              {1.0 - PR_DAMPING} / nn.n + {PR_DAMPING} * c1.c AS r
+       FROM deg d JOIN c1 ON c1.node = d.src, nn),
+c2 AS (SELECT s.dst AS node, sum(r.r / r.deg) AS c
+       FROM sym s JOIN r1 r ON s.src = r.node GROUP BY s.dst),
+r2 AS (SELECT d.src AS node, d.deg,
+              {1.0 - PR_DAMPING} / nn.n + {PR_DAMPING} * c2.c AS r
+       FROM deg d JOIN c2 ON c2.node = d.src, nn),
+c3 AS (SELECT s.dst AS node, sum(r.r / r.deg) AS c
+       FROM sym s JOIN r2 r ON s.src = r.node GROUP BY s.dst),
+r3 AS (SELECT d.src AS node, d.deg,
+              {1.0 - PR_DAMPING} / nn.n + {PR_DAMPING} * c3.c AS r
+       FROM deg d JOIN c3 ON c3.node = d.src, nn)
+SELECT node, deg::BIGINT AS degree, round(r, 6) + 0.0 AS pagerank
+FROM r3""",
         "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
         # identical text to er_clusters on purpose: the incremental
         # two-batch run must converge to the one-shot closure
@@ -1327,6 +1416,7 @@ QUERIES = {
     "er_string_panel": q_string_panel,
     "er_string_panel_full": q_string_panel_full,
     "er_match_edges": q_match_edges,
+    "er_pagerank": q_er_pagerank,
     "er_clusters": q_clusters,
     "er_incremental_clusters": q_incremental_clusters,
     "er_unlink_clusters": q_unlink_clusters,

@@ -55,3 +55,17 @@ def test_fixpoint_idempotent(spark):
     again = small_star(large_star(e))
     after = {(r["src"], r["dst"]) for r in again.collect()}
     assert before == after
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """PageRank over the sf0.001 match graph: total mass stays 1 (no
+    dangling leakage in the symmetric graph) and rank orders hubs —
+    a max-degree node outranks a min-degree node."""
+    from blink_spark import er_queries
+
+    rows = er_queries.q_er_pagerank(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-3  # 6dp-rounded ranks over ~1k nodes
+    hi = max(rows, key=lambda r: r.degree)
+    lo = min(rows, key=lambda r: r.degree)
+    assert hi.pagerank > lo.pagerank
