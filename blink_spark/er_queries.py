@@ -261,6 +261,62 @@ def q_match_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
 
 
+def q_er_cluster_density(spark, sf_dir):
+    """Cluster cohesion audit: for every non-singleton cluster, its
+    size, internal match-edge count, edge density 2E/(n(n-1)), and the
+    mean match probability of its scored internal edges — the
+    over-merge diagnostic (a big low-density cluster held together by a
+    few low-p edges is the classic transitive-closure failure mode; the
+    reference eyeballs this via per-entity score stats, §2.5 A1).
+
+    Plan (100 TB): three aggregates over the already-persisted cluster
+    and scored stages, each ONE shuffle keyed on cluster_id after an
+    equi-join from edge endpoint to cluster label; nothing quadratic —
+    density comes from counts, never from materializing pairs."""
+    clusters = _clusters(spark, sf_dir).select(
+        "file_id", "cluster_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    lbl = clusters.withColumnRenamed("file_id", "left_id")
+    e = (
+        _edges(spark, sf_dir)
+        .join(lbl, "left_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    se = (
+        _scored(spark, sf_dir)
+        .filter(F.col("match_p") >= F.lit(scoring.MATCH_TAU))
+        .select("left_id", "match_p")
+        .join(lbl, "left_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored_edges"),
+            F.avg("match_p").alias("_mp"),
+        )
+    )
+    out = (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(e, "cluster_id")
+        .join(se, "cluster_id", "left")
+    )
+    n = F.col("n_members")
+    return out.select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        _r6(F.lit(2.0) * F.col("n_edges") / (n * (n - 1)), 6).alias(
+            "density"
+        ),
+        F.coalesce(F.col("n_scored_edges"), F.lit(0))
+        .cast("long")
+        .alias("n_scored_edges"),
+        _r6(F.coalesce(F.col("_mp"), F.lit(-1.0)), 6).alias("mean_match_p"),
+    )
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 3
 
@@ -1179,6 +1235,20 @@ r3 AS (SELECT d.src AS node, d.deg,
        FROM deg d JOIN c3 ON c3.node = d.src, nn)
 SELECT node, deg::BIGINT AS degree, round(r, 6) + 0.0 AS pagerank
 FROM r3""",
+        "er_cluster_density": c + f"""
+, sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1),
+ie AS (SELECT cl.cluster_id, count(*) AS n_edges
+       FROM match_edges m JOIN clusters cl ON m.left_id = cl.file_id
+       GROUP BY 1),
+sce AS (SELECT cl.cluster_id, count(*) AS n_scored, avg(m.match_p) AS mp
+        FROM scored_p m JOIN clusters cl ON m.left_id = cl.file_id
+        WHERE m.match_p >= {scoring.MATCH_TAU} GROUP BY 1)
+SELECT s.cluster_id, s.n::BIGINT AS n_members, ie.n_edges::BIGINT AS n_edges,
+       round(2.0 * ie.n_edges / (s.n * (s.n - 1)), 6) + 0.0 AS density,
+       coalesce(sce.n_scored, 0)::BIGINT AS n_scored_edges,
+       round(coalesce(sce.mp, -1.0), 6) + 0.0 AS mean_match_p
+FROM sizes s JOIN ie USING (cluster_id) LEFT JOIN sce USING (cluster_id)
+WHERE s.n >= 2""",
         "er_clusters": c + "SELECT file_id, cluster_id FROM clusters",
         # identical text to er_clusters on purpose: the incremental
         # two-batch run must converge to the one-shot closure
@@ -1417,6 +1487,7 @@ QUERIES = {
     "er_string_panel_full": q_string_panel_full,
     "er_match_edges": q_match_edges,
     "er_pagerank": q_er_pagerank,
+    "er_cluster_density": q_er_cluster_density,
     "er_clusters": q_clusters,
     "er_incremental_clusters": q_incremental_clusters,
     "er_unlink_clusters": q_unlink_clusters,
