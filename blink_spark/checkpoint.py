@@ -542,22 +542,92 @@ class StageWriter:
 
     # -- maintenance -------------------------------------------------------
 
-    def rewrite_data_files(self, stage: str, target_partitions: int | None = None) -> dict:
+    def rewrite_data_files(
+        self,
+        stage: str,
+        target_partitions: int | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        n_dirs: int = 8,
+    ) -> dict:
         """Compaction (Iceberg's ``rewrite_data_files``): rewrite the
         current snapshot's data — typically many small fast-append /
         merge delta dirs — into ONE bin-packed dir and commit it as a new
         snapshot with identical rows. Parents keep time-traveling until
         expired; a stage already in one dir is a no-op. Pair with
-        ``expire_snapshots`` to actually reclaim the small files."""
+        ``expire_snapshots`` to actually reclaim the small files.
+
+        With ``zorder_by=(a, b)`` this is Iceberg's
+        ``strategy => 'sort', sort_order => 'zorder(a, b)'``: rows are
+        bucketed by quantiles of their Morton key (blink_spark.zorder)
+        and written as ``n_dirs`` data dirs in ONE partitioned write
+        job, so each dir covers a compact rectangle of the (a, b) key
+        space and the manifest's per-dir min/max bounds prune 2-D box
+        probes (user range AND time range) on BOTH columns — see the
+        layout A/B in tests/test_checkpoint_snapshots.py. Dirs stand in
+        for Iceberg's stat-tracked files: this layer's pruning
+        granularity."""
+        from pyspark.sql import functions as F
+
         cur = self.current_snapshot(stage)
         if cur is None:
             raise SnapshotNotFound(f"stage {stage!r} has no committed snapshot")
-        if len(cur.get("data_dirs") or [""]) <= 1:
-            return cur
-        df = self.read(stage)
-        if target_partitions:
-            df = df.coalesce(target_partitions)
-        rec = self.publish(stage, df, operation="rewrite")
+        if zorder_by is None:
+            if len(cur.get("data_dirs") or [""]) <= 1:
+                return cur
+            df = self.read(stage)
+            if target_partitions:
+                df = df.coalesce(target_partitions)
+            return self.publish(stage, df, operation="rewrite")
+
+        from blink_spark import zorder
+
+        a, b = zorder_by
+        df = self.read(stage).withColumn(
+            "__z", zorder.morton_col(F.col(a), F.col(b))
+        )
+        cuts = df.approxQuantile(
+            "__z", [i / n_dirs for i in range(1, n_dirs)], 0.001
+        )
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + (F.col("__z") > F.lit(cut)).cast("int")
+
+        snapshot_id = cur["snapshot_id"] + 1
+        path = self._snap_path(stage, snapshot_id)
+        colnames = [s.split(":", 1)[0] for s in cur["schema"]]
+        t0 = time.monotonic()
+        (
+            df.withColumn("__zb", bucket)
+            .select(*colnames, "__zb")
+            .write.mode("overwrite")
+            .partitionBy("__zb")
+            .parquet(path)
+        )
+        rel_dirs = sorted(
+            f"{os.path.basename(path)}/{d}"
+            for d in os.listdir(path)
+            if d.startswith("__zb=")
+        )
+        rec = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": cur["snapshot_id"],
+            "operation": "rewrite-zorder",
+            "zorder_by": [a, b],
+            "data_dirs": rel_dirs,
+            "dir_bounds": {
+                d: _dir_column_bounds(os.path.join(self.dir, stage, d))
+                for d in rel_dirs
+            },
+            "schema": cur["schema"],
+            "rows": cur["rows"],
+            "n_partitions": len(rel_dirs),
+            "wall_s": round(time.monotonic() - t0, 3),
+            "finished_utc_ns": time.time_ns(),
+        }
+        self._append_line(rec)
+        self._log.setdefault(stage, []).append(rec)
         return rec
 
     def expire_snapshots(self, stage: str, keep_last: int = 1) -> list[int]:

@@ -706,6 +706,32 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOUR_US = 3_600_000_000
+
+
+def q_evt_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (user_id, hour index) — the sort key a
+    ``rewrite_data_files`` Z-order compaction clusters event data by so
+    per-dir min/max bounds prune 2-D box probes (user range AND time
+    range) on BOTH columns; see blink_spark/zorder.py and the layout
+    A/B in tests/test_checkpoint_snapshots.py.  Pure 64-bit bitwise
+    ladder, bit-identical across engines — the kernel itself sits under
+    the hash gate here."""
+    from blink_spark import zorder
+
+    ev = load_events(spark, sf_dir)
+    us = ts_us_col()
+    hour_idx = (us - us % HOUR_US) / HOUR_US
+    return ev.select(
+        "event_id",
+        "user_id",
+        hour_idx.cast("long").alias("hour_idx"),
+        zorder.morton_col(F.col("user_id"), hour_idx.cast("long")).alias(
+            "zkey"
+        ),
+    )
+
+
 def q_evt_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB sketch swap, made verifiable: per event_type, the
     exact distinct-user count and exact p50/p99 (oracle-comparable
@@ -885,6 +911,7 @@ QUERIES = {
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
     "evt_sketch_accuracy": q_evt_sketch_accuracy,
+    "evt_zorder_key": q_evt_zorder_key,
     "evt_rolling_window": q_evt_rolling_window,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_stream_dedup": q_evt_stream_dedup,
@@ -977,6 +1004,15 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    from blink_spark import zorder
+
+    hr = f"(epoch_us(ts) - epoch_us(ts) % {HOUR_US}) // {HOUR_US}"
+    sql["evt_zorder_key"] = f"""
+SELECT event_id, user_id,
+       ({hr})::BIGINT AS hour_idx,
+       {zorder.sql_morton("user_id", hr)} AS zkey
+FROM events"""
 
     # exact columns compared value-for-value; the sketch columns are
     # error-bound BOOLEANS the oracle states as literals — a sketch
