@@ -706,6 +706,32 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evt_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` payload per event, then roll up by (event_type, field
+    decile) — the schema-on-read pattern every event table with a
+    free-form properties bag needs.
+
+    Plan (100 TB): ``get_json_object`` evaluates inside whole-stage
+    codegen per row (no Python, no UDF); the rollup is one map-side
+    partial + one shuffle on the tiny group key.  At scale, promote
+    hot JSON fields to real columns at ingest (this query is exactly
+    the promotion candidate census); DuckDB mirrors with
+    ``json_extract``."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _r6(F.sum("value"), 6).alias("sum_value"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
 HOUR_US = 3_600_000_000
 
 
@@ -912,6 +938,7 @@ QUERIES = {
     "evt_stream_sessionize": q_evt_stream_sessionize,
     "evt_sketch_accuracy": q_evt_sketch_accuracy,
     "evt_zorder_key": q_evt_zorder_key,
+    "evt_props_extract": q_evt_props_extract,
     "evt_rolling_window": q_evt_rolling_window,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_stream_dedup": q_evt_stream_dedup,
@@ -1004,6 +1031,17 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    sql["evt_props_extract"] = """
+WITH e AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                  value
+           FROM events)
+SELECT event_type, k - k % 10 AS k_decile,
+       count(*) AS n_events,
+       round(sum(value), 6) + 0.0 AS sum_value,
+       min(k) AS k_min, max(k) AS k_max
+FROM e GROUP BY 1, 2"""
 
     from blink_spark import zorder
 
