@@ -706,6 +706,59 @@ def q_evt_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel progression (view → click → purchase): a user
+    reaches step k+1 only with an event of that type strictly AFTER
+    their step-k time — the product-analytics staple (and SQL's
+    MATCH_RECOGNIZE lite).
+
+    Plan (100 TB): step k is ONE equi-join on user_id against the
+    step-(k-1) timestamps followed by a min-aggregate — co-partitioned
+    with the previous step's shuffle, no window over the whole event
+    stream, no per-user event collection.  The report is
+    steps-count-sized."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", ts_us_col("ts").alias("ts_us")
+    )
+    reached = []  # per step: DataFrame[user_id, t]
+    prev = None
+    for step in FUNNEL_STEPS:
+        cur = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
+            ).filter(F.col("ts_us") > F.col("_pt"))
+        prev = cur.groupBy("user_id").agg(F.min("ts_us").alias("t"))
+        reached.append(prev)
+
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        for i, (s, df) in enumerate(zip(FUNNEL_STEPS, reached))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # steps-count-sized table: a single-partition window is fine; anchor
+    # the denominator on step 1 explicitly (never on row order)
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w)
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        _r6(F.col("n_users") / base, 6).alias("frac_of_step1"),
+    )
+
+
 def q_evt_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a typed field out of the JSON
     ``props`` payload per event, then roll up by (event_type, field
@@ -939,6 +992,7 @@ QUERIES = {
     "evt_sketch_accuracy": q_evt_sketch_accuracy,
     "evt_zorder_key": q_evt_zorder_key,
     "evt_props_extract": q_evt_props_extract,
+    "evt_funnel": q_evt_funnel,
     "evt_rolling_window": q_evt_rolling_window,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_stream_dedup": q_evt_stream_dedup,
@@ -1031,6 +1085,29 @@ FROM events GROUP BY 1, 2"""
     # sessions (+ sentinel-forced closure of the open tails) must equal
     # the batch gap-sessionization row-for-row
     sql["evt_stream_sessionize"] = sql["evt_sessionize"]
+
+    sql["evt_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1),
+c AS (
+  SELECT 1::BIGINT AS step, 'view' AS event_type,
+         count(*)::BIGINT AS n_users FROM s1
+  UNION ALL
+  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3
+)
+SELECT step, event_type, n_users,
+       round(n_users::DOUBLE / max(CASE WHEN step = 1 THEN n_users END)
+               OVER (), 6) + 0.0 AS frac_of_step1
+FROM c"""
 
     sql["evt_props_extract"] = """
 WITH e AS (SELECT event_type,
