@@ -1100,6 +1100,42 @@ SELECT doc_id,
                               ' ')) AS chunk_sha
 FROM s"""
 
+    sig_sql = minhash.sql_minhash_signature("sh_hashes")
+    inter = "len(list_intersect(l.sh_hashes, r.sh_hashes))"
+    tune_ctes = [f"""
+, s AS (SELECT doc_id, sh_hashes, {sig_sql} AS msig FROM docs),
+truth AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM s l JOIN s r ON l.doc_id < r.doc_id
+  WHERE CAST({inter} AS DOUBLE)
+        / (len(l.sh_hashes) + len(r.sh_hashes) - {inter})
+        >= {NEAR_DUP_TAU}
+)"""]
+    tune_rows = []
+    for bnd, rws in LSH_TUNE_CONFIGS:
+        bk = minhash.sql_band_keys("msig", bnd, rws)
+        tune_ctes.append(f""",
+mb{bnd} AS (SELECT doc_id, unnest({bk}) AS bk FROM s),
+cd{bnd} AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM mb{bnd} l JOIN mb{bnd} r
+              ON l.bk = r.bk AND l.doc_id < r.doc_id),
+st{bnd} AS (SELECT (SELECT count(*) FROM cd{bnd}) AS n_candidates,
+                   (SELECT count(*) FROM truth) AS n_true,
+                   (SELECT count(*) FROM cd{bnd} JOIN truth USING (a, b))
+                     AS n_hits)""")
+        tune_rows.append(f"""
+SELECT {bnd}::BIGINT AS bands, {rws}::BIGINT AS rows_per_band,
+       n_candidates::BIGINT AS n_candidates, n_true::BIGINT AS n_true,
+       n_hits::BIGINT AS n_hits,
+       round(n_hits::DOUBLE / n_true, 6) + 0.0 AS recall,
+       round(CASE WHEN n_candidates > 0
+             THEN n_hits::DOUBLE / n_candidates ELSE -1.0 END, 6) + 0.0
+         AS precision
+FROM st{bnd}""")
+    sql["doc_lsh_band_tuning"] = (
+        c + "".join(tune_ctes) + "\nUNION ALL".join(tune_rows)
+    )
+
     # the same greedy fill state machine, replayed as a recursive CTE
     # stepping row_number-by-row_number within each shard
     sql["doc_pack_sequences"] = c + f"""
@@ -1462,6 +1498,86 @@ def q_doc_bm25_search(spark, sf_dir):
     )
 
 
+# --- MinHash-LSH banding calibration -----------------------------------------
+LSH_TUNE_CONFIGS = [(64, 1), (32, 2), (16, 4), (8, 8)]  # bands × rows = 64
+
+
+def q_doc_lsh_band_tuning(spark, sf_dir):
+    """Banding calibration for the MinHash-LSH near-dup blocker: for
+    each (bands, rows-per-band) split of the 64-perm signature, the
+    candidate volume and recall/precision against exact-Jaccard truth
+    at τ=NEAR_DUP_TAU — the S-curve table an operator reads to pick the
+    banding before a corpus-scale dedup run (the `emb_ann_recall`
+    analog for the text path).
+
+    Scale note: the exact-truth side is all-pairs BY DESIGN and runs on
+    a SAMPLE — banding is calibrated on a few thousand documents, then
+    applied at corpus scale where only the banded bucket-join ever
+    executes.  The tiny sample side broadcasts (BroadcastNestedLoopJoin,
+    never a shuffled cartesian); every candidate set is a keyed
+    bucket-join exactly like the production blocker."""
+    df = (
+        _with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "sh_hashes")
+        .withColumn(
+            "msig", minhash.minhash_signature_col(F.col("sh_hashes"))
+        )
+        .persist()
+    )
+    l = df.select(F.col("doc_id").alias("a"), F.col("sh_hashes").alias("l_h"))
+    r = df.select(F.col("doc_id").alias("b"), F.col("sh_hashes").alias("r_h"))
+    truth = (
+        l.crossJoin(F.broadcast(r))
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("j", scoring.jaccard_col(F.col("l_h"), F.col("r_h")))
+        .filter(F.col("j") >= NEAR_DUP_TAU)
+        .select("a", "b")
+        .persist()
+    )
+    out = None
+    for bnd, rws in LSH_TUNE_CONFIGS:
+        memb = df.select(
+            "doc_id",
+            F.explode(
+                minhash.band_keys_col(F.col("msig"), bnd, rws)
+            ).alias("bk"),
+        )
+        cand = (
+            memb.select(F.col("doc_id").alias("a"), "bk")
+            .join(memb.select(F.col("doc_id").alias("b"), "bk"), "bk")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        hits = cand.join(truth, ["a", "b"])
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            )
+            .crossJoin(
+                truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+            )
+            .select(
+                F.lit(bnd).cast("long").alias("bands"),
+                F.lit(rws).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                "n_hits",
+                _r6(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+                _r6(
+                    F.when(
+                        F.col("n_candidates") > 0,
+                        F.col("n_hits") / F.col("n_candidates"),
+                    ).otherwise(F.lit(-1.0)),
+                    6,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --- context-window chunking -------------------------------------------------
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
@@ -1629,4 +1745,5 @@ QUERIES = {
     "doc_lang_source_pivot": q_doc_lang_source_pivot,
     "doc_chunk_sliding": q_doc_chunk_sliding,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_lsh_band_tuning": q_doc_lsh_band_tuning,
 }
