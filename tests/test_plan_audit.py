@@ -39,6 +39,8 @@ _CONSTRUCTION_IS_EXECUTION = {
     "er_cdc_clusters",
     "evt_stream_windowed",
     "evt_stream_sessionize",
+    "evt_stream_stream_join",
+    "evt_stream_dedup",
 }
 
 
