@@ -408,6 +408,55 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
     return df.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
+CLONE_MIN_SHARED = 5   # fingerprints two docs must share to pair
+CLONE_MAX_DF = 50      # drop boilerplate fingerprints in > this many docs
+
+
+def q_doc_winnow_clone_pairs(spark, sf_dir):
+    """MOSS-style clone detection over the winnowing fingerprints: doc
+    pairs sharing ≥ CLONE_MIN_SHARED fingerprints, with a containment
+    score n_shared / min(|A|, |B|) — the plagiarism/code-clone join
+    (Schleimer et al. §5, the use the fingerprint table exists for).
+
+    Plan (100 TB): a fingerprint-keyed equi-join — never all-pairs —
+    with the same posting-list discipline as the LSH blocker: a
+    boilerplate fingerprint present in > CLONE_MAX_DF docs is dropped
+    BEFORE the self-join (license headers would otherwise pair every
+    file with every other), so bucket fan-out is bounded exactly like
+    the blocking cap in blocking.py."""
+    fp = q_doc_winnow_fingerprints(spark, sf_dir)
+    fdf = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_dfc"))
+    fp = (
+        fp.join(fdf, "fingerprint")
+        .filter(F.col("_dfc") <= CLONE_MAX_DF)
+        .select("doc_id", "fingerprint")
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    l = fp.select(F.col("doc_id").alias("left_id"), "fingerprint")
+    r = fp.select(F.col("doc_id").alias("right_id"), "fingerprint")
+    pairs = (
+        l.join(r, "fingerprint")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= CLONE_MIN_SHARED)
+    )
+    sl = sizes.select(F.col("doc_id").alias("left_id"), F.col("n_fp").alias("_nl"))
+    sr = sizes.select(F.col("doc_id").alias("right_id"), F.col("n_fp").alias("_nr"))
+    return (
+        pairs.join(sl, "left_id")
+        .join(sr, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "n_shared",
+            _r6(
+                F.col("n_shared") / F.least(F.col("_nl"), F.col("_nr")), 6
+            ).alias("containment"),
+        )
+    )
+
+
 TFIDF_TOP_K = 5
 
 # Per-stratum sampling rates for doc_stratified_sample (langs not listed
@@ -802,6 +851,28 @@ d3 AS (
   FROM d2
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM d3"""
+
+    sql["doc_winnow_clone_pairs"] = (
+        sql["doc_winnow_fingerprints"].replace(
+            "SELECT doc_id, unnest(fps) AS fingerprint FROM d3",
+            f""" , fpq AS (SELECT doc_id, unnest(fps) AS fingerprint FROM d3),
+fdf AS (SELECT fingerprint, count(*) AS dfc FROM fpq GROUP BY 1),
+fp AS (SELECT f.doc_id, f.fingerprint FROM fpq f
+       JOIN fdf USING (fingerprint) WHERE dfc <= {CLONE_MAX_DF}),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             count(*) AS n_shared
+      FROM fp l JOIN fp r
+        ON l.fingerprint = r.fingerprint AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+SELECT left_id, right_id, n_shared::BIGINT AS n_shared,
+       round(n_shared::DOUBLE / least(sl.n_fp, sr.n_fp), 6) + 0.0
+         AS containment
+FROM p JOIN sizes sl ON sl.doc_id = left_id
+       JOIN sizes sr ON sr.doc_id = right_id
+WHERE n_shared >= {CLONE_MIN_SHARED}""",
+        )
+    )
 
     sql["doc_tfidf_top_terms"] = c + f"""
 , terms AS (SELECT doc_id, unnest(tokens) AS term FROM docs),
@@ -1746,4 +1817,5 @@ QUERIES = {
     "doc_chunk_sliding": q_doc_chunk_sliding,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_lsh_band_tuning": q_doc_lsh_band_tuning,
+    "doc_winnow_clone_pairs": q_doc_winnow_clone_pairs,
 }
