@@ -650,6 +650,32 @@ SELECT {TOP_K} AS k,
   m.n_matched,
   round(m.n_matched::DOUBLE / n.n_exact_pairs, 6) + 0.0 AS recall
 FROM m, n"""
+    sql["emb_label_separability"] = """
+WITH e AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+intra AS (
+  SELECT a.label, avg(
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v)))) AS m
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY 1),
+cenp AS (SELECT label, i, avg(CAST(v[i] AS DOUBLE)) AS m
+         FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+cen AS (SELECT label, list(m ORDER BY i) AS c FROM cenp GROUP BY 1),
+inter AS (
+  SELECT c1.label, avg(
+    list_dot_product(c1.c, c2.c)
+      / (sqrt(list_dot_product(c1.c, c1.c))
+         * sqrt(list_dot_product(c2.c, c2.c)))) AS m
+  FROM cen c1 JOIN cen c2 ON c1.label <> c2.label GROUP BY 1),
+sizes AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+SELECT s.label, s.n::BIGINT AS n_vecs,
+       round(i.m, 6) + 0.0 AS intra_mean_cos,
+       round(t.m, 6) + 0.0 AS inter_centroid_cos,
+       round(i.m - t.m, 6) + 0.0 AS margin
+FROM sizes s JOIN intra i ON i.label = s.label
+     JOIN inter t ON t.label = s.label"""
     return sql
 
 
@@ -737,6 +763,80 @@ def q_emb_int8_recall(spark, sf_dir):
     )
 
 
+def q_emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separability: per label, the mean pairwise
+    intra-label cosine vs the mean cosine from this label's centroid to
+    every OTHER label's centroid, and the margin between them — the
+    contrastive-quality report an embedding pipeline publishes before
+    anyone trusts the vectors for retrieval or clustering.
+
+    Plan (100 TB): intra-pairs are a label-keyed self-join (never
+    all-pairs across labels; within-label O(n_label²) is the medoid
+    query's already-accepted shape); centroids are one posexplode +
+    per-(label, pos) avg (the `emb_label_centroids` aggregate) and the
+    centroid×centroid table is labels² — trivially broadcast."""
+    e = load_embeddings(spark, sf_dir).select(
+        F.col("label").cast("long").alias("label"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = e.select("label", F.col("vec_id").alias("ai"), F.col("v").alias("av"))
+    b = e.select("label", F.col("vec_id").alias("bi"), F.col("v").alias("bv"))
+    intra = (
+        a.join(b, "label")
+        .filter(F.col("ai") < F.col("bi"))
+        .select(
+            "label",
+            (
+                _dot(F.col("av"), F.col("bv"))
+                / (_norm(F.col("av")) * _norm(F.col("bv")))
+            ).alias("cos"),
+        )
+        .groupBy("label")
+        .agg(F.avg("cos").alias("_intra"))
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+    c1 = cent.select(F.col("label"), F.col("c").alias("c1"))
+    c2 = cent.select(F.col("label").alias("l2"), F.col("c").alias("c2"))
+    inter = (
+        c1.join(F.broadcast(c2), F.col("label") != F.col("l2"))
+        .select(
+            "label",
+            (
+                _dot(F.col("c1"), F.col("c2"))
+                / (_norm(F.col("c1")) * _norm(F.col("c2")))
+            ).alias("cos"),
+        )
+        .groupBy("label")
+        .agg(F.avg("cos").alias("_inter"))
+    )
+    sizes = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    return (
+        sizes.join(intra, "label")
+        .join(inter, "label")
+        .select(
+            "label",
+            "n_vecs",
+            _r6(F.col("_intra"), 6).alias("intra_mean_cos"),
+            _r6(F.col("_inter"), 6).alias("inter_centroid_cos"),
+            _r6(F.col("_intra") - F.col("_inter"), 6).alias("margin"),
+        )
+    )
+
+
 QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_lsh_buckets": q_emb_lsh_buckets,
@@ -748,4 +848,5 @@ QUERIES = {
     "emb_label_medoid": q_emb_label_medoid,
     "emb_int8_topk": q_emb_int8_topk,
     "emb_int8_recall": q_emb_int8_recall,
+    "emb_label_separability": q_emb_label_separability,
 }
