@@ -21,6 +21,8 @@ function; see SURVEY.md §2 for the full operator mapping.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -379,6 +381,198 @@ def q_er_pagerank(spark, sf_dir):
         "node",
         F.col("deg").cast("long").alias("degree"),
         _r6(F.col("r"), 6).alias("pagerank"),
+    )
+
+
+# Fellegi–Sunter EM: (feature, agreement threshold) comparison levels,
+# fixed iteration count, initial parameters and probability clamp — all
+# shared bit-for-bit with the DuckDB oracle, which unrolls the same EM
+# as a CTE chain.
+# jw_path is deliberately absent: within blocks the basenames are
+# near-identical, so a JW agreement indicator is constant-true — both m
+# and u hit the clamp and its weight is 0 (measured at sf0.01: P(jw
+# >= .9) = 1.0). The panel keeps levels that stay informative GIVEN the
+# blocking.
+FS_FEATURES = [
+    ("cosine", 0.8),
+    ("jaccard_sh", 0.5),
+    ("overlap_sh", 0.5),
+    ("lev_path", 0.8),
+]
+FS_ITERS = 3
+FS_LAM0 = 0.1
+FS_M0 = 0.9
+FS_U0 = 0.1
+FS_PMIN = 1e-6
+FS_PMAX = 0.999999
+
+
+def q_er_fs_em(spark, sf_dir):
+    """Fellegi–Sunter parameter estimation by EM over candidate-pair
+    agreement patterns — unsupervised m/u/λ learning (Fellegi & Sunter
+    1969; the shape the Splink engine popularized on Spark).  The
+    reference's NIL combiner learns SUPERVISED weights over the same
+    feature panel (``scripts/feature_ablation_study.py:969-975``); this
+    is its unsupervised complement: a two-class latent mixture over
+    binary agreement indicators, no labels consumed.
+
+    Plan (100 TB): EM never touches the pair table more than ONCE.
+    Pairs collapse to the O(2^F) agreement-pattern census (one shuffle
+    whose reduced size is 16 rows regardless of data scale) and every
+    E/M iteration runs on that census — the naive formulation would
+    re-scan 10^12 pairs per iteration for bit-identical results.  The
+    census ``collect()`` is the same O(1)-rows pattern as the confusion
+    rollup.  Output: per-feature m/u probabilities, log2 agreement /
+    disagreement match weights, and the class prior λ.
+    """
+    nf = len(FS_FEATURES)
+    census_rows = (
+        _scored(spark, sf_dir)
+        .select(
+            *[
+                (F.col(c) >= F.lit(t)).alias(f"a{i}")
+                for i, (c, t) in enumerate(FS_FEATURES)
+            ]
+        )
+        .groupBy(*[f"a{i}" for i in range(nf)])
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .collect()
+    )
+    patterns = [
+        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
+        for r in census_rows
+    ]
+    lam, m, u = FS_LAM0, [FS_M0] * nf, [FS_U0] * nf
+    for _ in range(FS_ITERS):
+        sum_n = sum_rn = sum_un = 0.0
+        am, au = [0.0] * nf, [0.0] * nf
+        for a, n in patterns:
+            pm, pu = lam, 1.0 - lam
+            for i in range(nf):
+                pm *= m[i] if a[i] else 1.0 - m[i]
+                pu *= u[i] if a[i] else 1.0 - u[i]
+            r = pm / (pm + pu)
+            sum_n += n
+            sum_rn += r * n
+            sum_un += (1.0 - r) * n
+            for i in range(nf):
+                if a[i]:
+                    am[i] += r * n
+                    au[i] += (1.0 - r) * n
+        lam = sum_rn / sum_n
+        m = [max(min(am[i] / sum_rn, FS_PMAX), FS_PMIN) for i in range(nf)]
+        u = [max(min(au[i] / sum_un, FS_PMAX), FS_PMIN) for i in range(nf)]
+    rows = [
+        (
+            name,
+            m[i],
+            u[i],
+            math.log2(m[i] / u[i]),
+            math.log2((1.0 - m[i]) / (1.0 - u[i])),
+            lam,
+        )
+        for i, (name, _) in enumerate(FS_FEATURES)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "feature string, m double, u double, w_agree double,"
+        " w_disagree double, lam double",
+    )
+    # rounding happens in Spark (F.round = HALF_UP, matching DuckDB's
+    # round), never via Python's banker's-rounding round()
+    return out.select(
+        "feature",
+        _r6("m", 6).alias("m"),
+        _r6("u", 6).alias("u"),
+        _r6("w_agree", 6).alias("w_agree"),
+        _r6("w_disagree", 6).alias("w_disagree"),
+        _r6("lam", 6).alias("lam"),
+    )
+
+
+O2O_ROUNDS = 6
+
+
+def q_er_one_to_one(spark, sf_dir):
+    """One-to-one assignment over the thresholded match edges:
+    ``O2O_ROUNDS`` fixed rounds of locally-dominant ("mutual best")
+    matching.  Each round keeps every edge that is rank-1 for BOTH of
+    its endpoints under ``(match_p DESC, partner ASC)``, removes the
+    matched endpoints, and repeats — the distributed analog of
+    sequential greedy maximum-weight matching (identical to it whenever
+    the round budget drains the frontier; locally-dominant edges are
+    exactly the ones sequential greedy would take).  This is the
+    assignment constraint deduplication systems apply when each record
+    may merge with at most ONE partner per pass — the uniqueness
+    discipline of the reference's per-mention argmax best-candidate
+    (W4, ``blink/main_dense.py:476-489``) lifted from a bipartite
+    mention→entity argmax to a symmetric record graph.
+
+    Plan (100 TB): each round is one window shuffle on ``node`` plus
+    two semi/anti joins keyed on ids — no global sort of all edges (the
+    sequential-greedy formulation) and no driver state; the edge
+    frontier shrinks monotonically and matched pairs leave the loop via
+    ``localCheckpoint`` so round k+1 never re-derives round k.  The
+    round count is FIXED (not converged-probed) so the DuckDB oracle
+    can unroll the identical computation; the emitted ``match_round``
+    column pins per-round parity, not just the final set.
+    """
+    e = (
+        _scored(spark, sf_dir)
+        .filter(F.col("match_p") >= F.lit(scoring.MATCH_TAU))
+        .select("left_id", "right_id", "match_p")
+        .localCheckpoint()
+    )
+    matched = []
+    for rnd in range(1, O2O_ROUNDS + 1):
+        pern = e.select(
+            F.col("left_id").alias("node"),
+            F.col("right_id").alias("partner"),
+            "match_p",
+        ).unionByName(
+            e.select(
+                F.col("right_id").alias("node"),
+                F.col("left_id").alias("partner"),
+                "match_p",
+            )
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("match_p").desc(), F.col("partner").asc()
+        )
+        best = (
+            pern.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "partner")
+        )
+        bl = best.select(
+            F.col("node").alias("left_id"), F.col("partner").alias("right_id")
+        )
+        br = best.select(
+            F.col("partner").alias("left_id"), F.col("node").alias("right_id")
+        )
+        mutual = (
+            e.join(bl, ["left_id", "right_id"], "left_semi")
+            .join(br, ["left_id", "right_id"], "left_semi")
+            .withColumn("match_round", F.lit(rnd))
+            .localCheckpoint()
+        )
+        matched.append(mutual)
+        nodes = mutual.select(F.col("left_id").alias("id")).unionByName(
+            mutual.select(F.col("right_id").alias("id"))
+        )
+        e = (
+            e.join(nodes, e.left_id == nodes.id, "left_anti")
+            .join(nodes, e.right_id == nodes.id, "left_anti")
+            .localCheckpoint()
+        )
+    out = matched[0]
+    for mdf in matched[1:]:
+        out = out.unionByName(mdf)
+    return out.select(
+        "left_id",
+        "right_id",
+        F.col("match_round").cast("long").alias("match_round"),
+        _r6("match_p", 6).alias("match_p"),
     )
 
 
@@ -1167,6 +1361,116 @@ gold_rank AS (
 )"""
 
 
+def _fs_em_sql() -> str:
+    """DuckDB mirror of q_er_fs_em: same census, same EM unrolled as a
+    CTE chain (the ``er_pagerank`` unrolled-iteration precedent), same
+    probability clamp; float literals via repr() so both engines parse
+    identical decimals."""
+    nf = len(FS_FEATURES)
+    agr = ", ".join(
+        f"({c} >= {t!r}) AS a{i}" for i, (c, t) in enumerate(FS_FEATURES)
+    )
+    gb = ", ".join(f"a{i}" for i in range(nf))
+    init = ", ".join(
+        f"{FS_M0!r} AS m{i}, {FS_U0!r} AS u{i}" for i in range(nf)
+    )
+    sql = f"""
+, fs_census AS (
+  SELECT {gb}, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT {agr} FROM scored_p) GROUP BY {gb}
+),
+fs_p0 AS (SELECT {FS_LAM0!r} AS lam, {init})"""
+    for k in range(1, FS_ITERS + 1):
+        pm = " * ".join(
+            f"(CASE WHEN a{i} THEN m{i} ELSE 1.0 - m{i} END)"
+            for i in range(nf)
+        )
+        pu = " * ".join(
+            f"(CASE WHEN a{i} THEN u{i} ELSE 1.0 - u{i} END)"
+            for i in range(nf)
+        )
+        mcols = ", ".join(
+            f"greatest(least(sum(CASE WHEN a{i} THEN r * n ELSE 0.0 END)"
+            f" / sum(r * n), {FS_PMAX!r}), {FS_PMIN!r}) AS m{i},\n         "
+            f"greatest(least(sum(CASE WHEN a{i} THEN (1.0 - r) * n ELSE 0.0 END)"
+            f" / sum((1.0 - r) * n), {FS_PMAX!r}), {FS_PMIN!r}) AS u{i}"
+            for i in range(nf)
+        )
+        sql += f""",
+fs_r{k} AS (
+  SELECT *, pm / (pm + pu) AS r FROM (
+    SELECT c.*, lam * {pm} AS pm,
+           (1.0 - lam) * {pu} AS pu
+    FROM fs_census c CROSS JOIN fs_p{k - 1}
+  )
+),
+fs_p{k} AS (
+  SELECT sum(r * n) / sum(n) AS lam,
+         {mcols}
+  FROM fs_r{k}
+)"""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS feature, round(m{i}, 6) + 0.0 AS m,"
+        f" round(u{i}, 6) + 0.0 AS u,"
+        f" round(log2(m{i} / u{i}), 6) + 0.0 AS w_agree,"
+        f" round(log2((1.0 - m{i}) / (1.0 - u{i})), 6) + 0.0 AS w_disagree,"
+        f" round(lam, 6) + 0.0 AS lam FROM fs_p{FS_ITERS}"
+        for i, (name, _) in enumerate(FS_FEATURES)
+    )
+    return sql + "\n" + finals
+
+
+def _one_to_one_sql() -> str:
+    """DuckDB mirror of q_er_one_to_one: the identical fixed number of
+    locally-dominant matching rounds unrolled as CTEs, identical
+    (match_p DESC, partner ASC) tiebreak."""
+    # every round CTE is MATERIALIZED: each level references its
+    # predecessor ~4 times, so plain (inlinable) CTEs would compound to
+    # 4^ROUNDS copies of the whole upstream scan chain — observed as a
+    # "too many open files" parquet-open storm in DuckDB
+    sql = f"""
+, o2o_e0 AS MATERIALIZED (
+  SELECT left_id, right_id, match_p FROM scored_p
+  WHERE match_p >= {scoring.MATCH_TAU!r}
+)"""
+    for k in range(1, O2O_ROUNDS + 1):
+        p = k - 1
+        sql += f""",
+o2o_b{k} AS MATERIALIZED (
+  SELECT node, partner FROM (
+    SELECT node, partner,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY match_p DESC, partner ASC) AS rk
+    FROM (SELECT left_id AS node, right_id AS partner, match_p FROM o2o_e{p}
+          UNION ALL
+          SELECT right_id AS node, left_id AS partner, match_p FROM o2o_e{p})
+  ) WHERE rk = 1
+),
+o2o_m{k} AS MATERIALIZED (
+  SELECT e.left_id, e.right_id, e.match_p, {k} AS match_round
+  FROM o2o_e{p} e
+  JOIN o2o_b{k} x ON e.left_id = x.node AND e.right_id = x.partner
+  JOIN o2o_b{k} y ON e.right_id = y.node AND e.left_id = y.partner
+),
+o2o_e{k} AS MATERIALIZED (
+  SELECT e.* FROM o2o_e{p} e
+  WHERE NOT EXISTS (SELECT 1 FROM o2o_m{k} m
+                    WHERE e.left_id IN (m.left_id, m.right_id))
+    AND NOT EXISTS (SELECT 1 FROM o2o_m{k} m
+                    WHERE e.right_id IN (m.left_id, m.right_id))
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM o2o_m{k}" for k in range(1, O2O_ROUNDS + 1)
+    )
+    return (
+        sql
+        + f"""
+SELECT left_id, right_id, CAST(match_round AS BIGINT) AS match_round,
+       round(match_p, 6) + 0.0 AS match_p
+FROM ({union})"""
+    )
+
+
 def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     c = _cte_chain(sf)
     # recursive CTE must be declared on the WITH; prepend keyword
@@ -1474,6 +1778,8 @@ WHERE s.n >= 2""",
                (round(2.0 * (p_sum / n) * (r_sum / n)
                      / ((p_sum / n) + (r_sum / n)), 6) + 0.0) AS bcubed_f1
              FROM sums""",
+        "er_fs_em": c + _fs_em_sql(),
+        "er_one_to_one": c + _one_to_one_sql(),
     }
 
 
@@ -1508,4 +1814,6 @@ QUERIES = {
     "er_bcubed": q_bcubed,
     "er_sorted_neighborhood": q_sorted_neighborhood,
     "er_meta_blocking": q_meta_blocking,
+    "er_fs_em": q_er_fs_em,
+    "er_one_to_one": q_er_one_to_one,
 }

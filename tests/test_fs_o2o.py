@@ -1,0 +1,162 @@
+"""Semantic pins for the Fellegi–Sunter EM and one-to-one assignment
+queries (this session's ER additions):
+
+- ``er_fs_em`` — m/u/λ and log2 weights must equal an INDEPENDENT
+  pair-level EM recompute in plain Python (the query aggregates the
+  2^F pattern census first; the recompute iterates raw pairs, a
+  different summation order — agreement to ~1e-9 proves the census
+  collapse is exact, not an approximation), and on the fixture the
+  m-probability must dominate u for every feature (the unsupervised
+  learner actually separates matches from non-matches).
+- ``er_one_to_one`` — the output must be a matching (no endpoint twice),
+  must exactly equal a plain-Python replay of the same fixed-round
+  locally-dominant algorithm INCLUDING per-round attribution, and every
+  matched edge must belong to the sequential greedy maximum-weight
+  matching (locally-dominant rounds are a prefix of greedy under a
+  strict total order).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark import er_queries, scoring
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _scored_rows(spark):
+    cols = [c for c, _ in er_queries.FS_FEATURES]
+    return (
+        er_queries._scored(spark, SF_DIR)
+        .select("left_id", "right_id", "match_p", *cols)
+        .collect()
+    )
+
+
+def test_fs_em_matches_pair_level_python_recompute(spark):
+    rows = _scored_rows(spark)
+    nf = len(er_queries.FS_FEATURES)
+    agrees = [
+        tuple(
+            float(r[c]) >= t for c, t in er_queries.FS_FEATURES
+        )
+        for r in rows
+    ]
+    lam = er_queries.FS_LAM0
+    m = [er_queries.FS_M0] * nf
+    u = [er_queries.FS_U0] * nf
+    for _ in range(er_queries.FS_ITERS):
+        sum_n = sum_rn = sum_un = 0.0
+        am, au = [0.0] * nf, [0.0] * nf
+        for a in agrees:  # pair-level (not census-level) — independent order
+            pm, pu = lam, 1.0 - lam
+            for i in range(nf):
+                pm *= m[i] if a[i] else 1.0 - m[i]
+                pu *= u[i] if a[i] else 1.0 - u[i]
+            r = pm / (pm + pu)
+            sum_n += 1.0
+            sum_rn += r
+            sum_un += 1.0 - r
+            for i in range(nf):
+                if a[i]:
+                    am[i] += r
+                    au[i] += 1.0 - r
+        lam = sum_rn / sum_n
+        m = [
+            max(min(am[i] / sum_rn, er_queries.FS_PMAX), er_queries.FS_PMIN)
+            for i in range(nf)
+        ]
+        u = [
+            max(min(au[i] / sum_un, er_queries.FS_PMAX), er_queries.FS_PMIN)
+            for i in range(nf)
+        ]
+
+    got = {r.feature: r for r in er_queries.q_er_fs_em(spark, SF_DIR).collect()}
+    assert set(got) == {c for c, _ in er_queries.FS_FEATURES}
+    tol = 2e-6  # query output is rounded to 6dp
+    for i, (name, _) in enumerate(er_queries.FS_FEATURES):
+        g = got[name]
+        assert abs(g.m - m[i]) < tol, (name, g.m, m[i])
+        assert abs(g.u - u[i]) < tol, (name, g.u, u[i])
+        assert abs(g.w_agree - math.log2(m[i] / u[i])) < tol
+        assert abs(
+            g.w_disagree - math.log2((1.0 - m[i]) / (1.0 - u[i]))
+        ) < tol
+        assert abs(g.lam - lam) < tol
+
+
+def test_fs_em_separates_matches_on_fixture(spark):
+    got = {r.feature: r for r in er_queries.q_er_fs_em(spark, SF_DIR).collect()}
+    for name, r in got.items():
+        assert r.m > r.u, (name, r.m, r.u)  # agreement is evidence FOR a match
+        assert r.w_agree > 0.0 > r.w_disagree, name
+        assert 0.0 < r.lam < 1.0
+
+
+def _python_locally_dominant(edges, rounds):
+    """Replay q_er_one_to_one's fixed-round algorithm in plain Python.
+
+    ``edges``: {(l, r): p} with l < r.  Returns {(l, r): round}.
+    """
+    matched = {}
+    live = dict(edges)
+    for rnd in range(1, rounds + 1):
+        best = {}
+        for (l, r), p in live.items():
+            for node, partner in ((l, r), (r, l)):
+                cur = best.get(node)
+                # rank-1 under (match_p DESC, partner ASC)
+                if cur is None or (-p, partner) < (-cur[0], cur[1]):
+                    best[node] = (p, partner)
+        this_round = [
+            (l, r)
+            for (l, r) in live
+            if best[l][1] == r and best[r][1] == l
+        ]
+        gone = set()
+        for l, r in this_round:
+            matched[(l, r)] = rnd
+            gone.add(l)
+            gone.add(r)
+        live = {
+            e: p for e, p in live.items() if e[0] not in gone and e[1] not in gone
+        }
+    return matched
+
+
+def test_one_to_one_matches_python_replay_and_greedy(spark):
+    rows = _scored_rows(spark)
+    edges = {
+        (r.left_id, r.right_id): float(r.match_p)
+        for r in rows
+        if float(r.match_p) >= scoring.MATCH_TAU
+    }
+    assert edges, "fixture must produce thresholded edges"
+    expected = _python_locally_dominant(edges, er_queries.O2O_ROUNDS)
+
+    out = er_queries.q_er_one_to_one(spark, SF_DIR).collect()
+    got = {(r.left_id, r.right_id): r.match_round for r in out}
+
+    # exact parity with the Python replay, per-round attribution included
+    assert got == expected
+
+    # it is a matching: no endpoint appears twice
+    seen = set()
+    for l, r in got:
+        assert l not in seen and r not in seen
+        seen.add(l)
+        seen.add(r)
+
+    # every matched edge belongs to the sequential greedy matching
+    greedy, taken = set(), set()
+    for (l, r), p in sorted(edges.items(), key=lambda kv: (-kv[1], kv[0])):
+        if l not in taken and r not in taken:
+            greedy.add((l, r))
+            taken.add(l)
+            taken.add(r)
+    assert set(got) <= greedy
