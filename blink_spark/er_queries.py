@@ -407,41 +407,33 @@ FS_PMIN = 1e-6
 FS_PMAX = 0.999999
 
 
-def q_er_fs_em(spark, sf_dir):
-    """Fellegi–Sunter parameter estimation by EM over candidate-pair
-    agreement patterns — unsupervised m/u/λ learning (Fellegi & Sunter
-    1969; the shape the Splink engine popularized on Spark).  The
-    reference's NIL combiner learns SUPERVISED weights over the same
-    feature panel (``scripts/feature_ablation_study.py:969-975``); this
-    is its unsupervised complement: a two-class latent mixture over
-    binary agreement indicators, no labels consumed.
-
-    Plan (100 TB): EM never touches the pair table more than ONCE.
-    Pairs collapse to the O(2^F) agreement-pattern census (one shuffle
-    whose reduced size is 16 rows regardless of data scale) and every
-    E/M iteration runs on that census — the naive formulation would
-    re-scan 10^12 pairs per iteration for bit-identical results.  The
-    census ``collect()`` is the same O(1)-rows pattern as the confusion
-    rollup.  Output: per-feature m/u probabilities, log2 agreement /
-    disagreement match weights, and the class prior λ.
-    """
+def _fs_census_rows(spark, sf_dir):
+    """Collected agreement-pattern census: one row per 2^F pattern with
+    the pair count and the count of pairs the supervised logistic path
+    also calls a match — O(2^F) rows regardless of data scale."""
     nf = len(FS_FEATURES)
-    census_rows = (
+    return (
         _scored(spark, sf_dir)
         .select(
             *[
                 (F.col(c) >= F.lit(t)).alias(f"a{i}")
                 for i, (c, t) in enumerate(FS_FEATURES)
-            ]
+            ],
+            (F.col("match_p") >= F.lit(scoring.MATCH_TAU)).alias("lg"),
         )
         .groupBy(*[f"a{i}" for i in range(nf)])
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("lg").cast("long")).alias("n_log"),
+        )
         .collect()
     )
-    patterns = [
-        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
-        for r in census_rows
-    ]
+
+
+def _fs_em_params(patterns):
+    """Run the fixed-iteration EM over (agreement-tuple, count) patterns;
+    returns (lam, m, u) — the exact arithmetic the DuckDB oracle unrolls."""
+    nf = len(FS_FEATURES)
     lam, m, u = FS_LAM0, [FS_M0] * nf, [FS_U0] * nf
     for _ in range(FS_ITERS):
         sum_n = sum_rn = sum_un = 0.0
@@ -462,6 +454,43 @@ def q_er_fs_em(spark, sf_dir):
         lam = sum_rn / sum_n
         m = [max(min(am[i] / sum_rn, FS_PMAX), FS_PMIN) for i in range(nf)]
         u = [max(min(au[i] / sum_un, FS_PMAX), FS_PMIN) for i in range(nf)]
+    return lam, m, u
+
+
+def _fs_posterior(a, lam, m, u):
+    """P(match | agreement pattern a) under the fitted mixture — the
+    same left-to-right product order as the SQL mirror."""
+    pm, pu = lam, 1.0 - lam
+    for i in range(len(a)):
+        pm *= m[i] if a[i] else 1.0 - m[i]
+        pu *= u[i] if a[i] else 1.0 - u[i]
+    return pm / (pm + pu)
+
+
+def q_er_fs_em(spark, sf_dir):
+    """Fellegi–Sunter parameter estimation by EM over candidate-pair
+    agreement patterns — unsupervised m/u/λ learning (Fellegi & Sunter
+    1969; the shape the Splink engine popularized on Spark).  The
+    reference's NIL combiner learns SUPERVISED weights over the same
+    feature panel (``scripts/feature_ablation_study.py:969-975``); this
+    is its unsupervised complement: a two-class latent mixture over
+    binary agreement indicators, no labels consumed.
+
+    Plan (100 TB): EM never touches the pair table more than ONCE.
+    Pairs collapse to the O(2^F) agreement-pattern census (one shuffle
+    whose reduced size is 16 rows regardless of data scale) and every
+    E/M iteration runs on that census — the naive formulation would
+    re-scan 10^12 pairs per iteration for bit-identical results.  The
+    census ``collect()`` is the same O(1)-rows pattern as the confusion
+    rollup.  Output: per-feature m/u probabilities, log2 agreement /
+    disagreement match weights, and the class prior λ.
+    """
+    nf = len(FS_FEATURES)
+    patterns = [
+        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
+        for r in _fs_census_rows(spark, sf_dir)
+    ]
+    lam, m, u = _fs_em_params(patterns)
     rows = [
         (
             name,
@@ -487,6 +516,120 @@ def q_er_fs_em(spark, sf_dir):
         _r6("w_agree", 6).alias("w_agree"),
         _r6("w_disagree", 6).alias("w_disagree"),
         _r6("lam", 6).alias("lam"),
+    )
+
+
+def q_er_fs_posteriors(spark, sf_dir):
+    """Pattern-level Fellegi–Sunter decisions next to the supervised
+    path: for every agreement pattern, the pair count, the fitted
+    posterior P(match | pattern), the resulting FS decision, and how
+    many of those pairs the calibrated logistic scorer ALSO calls a
+    match — the unsupervised-vs-supervised model-agreement table
+    (Splink's "predictions by comparison vector" view; the reference's
+    ablation study compares feature subsets the supervised way,
+    ``scripts/feature_ablation_study.py``).
+
+    Plan (100 TB): the posterior depends ONLY on the agreement pattern,
+    so this is the same single census shuffle as ``er_fs_em`` — no
+    per-pair posterior materialization; 2^F output rows at any scale.
+    """
+    nf = len(FS_FEATURES)
+    census = _fs_census_rows(spark, sf_dir)
+    patterns = [
+        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
+        for r in census
+    ]
+    lam, m, u = _fs_em_params(patterns)
+    rows = [
+        (
+            *[bool(r[f"a{i}"]) for i in range(nf)],
+            int(r["n"]),
+            int(r["n_log"]),
+            _fs_posterior([bool(r[f"a{i}"]) for i in range(nf)], lam, m, u),
+        )
+        for r in census
+    ]
+    names = [f"agree_{c}" for c, _ in FS_FEATURES]
+    out = spark.createDataFrame(
+        rows,
+        ", ".join(f"{a} boolean" for a in names)
+        + ", n_pairs long, n_logistic_match long, fs_posterior double",
+    )
+    return out.select(
+        *names,
+        "n_pairs",
+        "n_logistic_match",
+        _r6("fs_posterior", 6).alias("fs_posterior"),
+        (F.col("fs_posterior") >= F.lit(0.5)).alias("fs_match"),
+    )
+
+
+def q_er_golden_record(spark, sf_dir):
+    """Golden-record construction (MDM survivorship): every
+    multi-member cluster fused into ONE record with per-attribute
+    survivorship rules — most-frequent for ``lang``, most-complete
+    (max ``n_tokens``) for the canonical path, most-recent proxy
+    (max ``commit``; lexicographic over shas here, max-by-timestamp on
+    a real table) for the commit, plus member/repo cardinalities.  The
+    fusion step downstream of clustering that the reference's KBP loop
+    sidesteps by keying on the first-seen member (A6,
+    ``scripts/kbp_simulation.py:229-251``); ``doc_canonical_pick``
+    keeps one best ROW — this builds a best-of-breed COMPOSITE row.
+
+    Plan (100 TB): everything keys on cluster_id — two grouped
+    aggregates plus two rank-1 windows over the members table, no
+    pairs, nothing quadratic; survivorship ties broken deterministically
+    (count DESC then value ASC; n_tokens DESC then file_id ASC)."""
+    members = (
+        _clusters(spark, sf_dir)
+        .select("file_id", "cluster_id")
+        .join(
+            _ingested(spark, sf_dir).select(
+                "file_id", "repo", "path", "commit", "lang", "n_tokens"
+            ),
+            "file_id",
+        )
+    )
+    base = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+        F.max("commit").alias("latest_commit"),
+    )
+    wl = Window.partitionBy("cluster_id").orderBy(
+        F.col("cnt").desc(), F.col("lang").asc()
+    )
+    mode_lang = (
+        members.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", "lang")
+    )
+    wp = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("file_id").asc()
+    )
+    canon = (
+        members.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("path").alias("canonical_path"),
+            F.col("n_tokens").cast("long").alias("canonical_n_tokens"),
+        )
+    )
+    return (
+        base.filter(F.col("n_members") >= 2)
+        .join(mode_lang, "cluster_id")
+        .join(canon, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_repos",
+            "lang",
+            "canonical_path",
+            "canonical_n_tokens",
+            "latest_commit",
+        )
     )
 
 
@@ -1361,11 +1504,13 @@ gold_rank AS (
 )"""
 
 
-def _fs_em_sql() -> str:
-    """DuckDB mirror of q_er_fs_em: same census, same EM unrolled as a
-    CTE chain (the ``er_pagerank`` unrolled-iteration precedent), same
-    probability clamp; float literals via repr() so both engines parse
-    identical decimals."""
+def _fs_em_chain() -> str:
+    """Shared DuckDB CTE chain for the Fellegi–Sunter queries: the
+    agreement-pattern census (with the logistic-match count used by
+    er_fs_posteriors) plus the same EM unrolled iteration-by-iteration
+    (the ``er_pagerank`` unrolled-iteration precedent), same probability
+    clamp; float literals via repr() so both engines parse identical
+    decimals."""
     nf = len(FS_FEATURES)
     agr = ", ".join(
         f"({c} >= {t!r}) AS a{i}" for i, (c, t) in enumerate(FS_FEATURES)
@@ -1376,8 +1521,10 @@ def _fs_em_sql() -> str:
     )
     sql = f"""
 , fs_census AS (
-  SELECT {gb}, CAST(count(*) AS DOUBLE) AS n
-  FROM (SELECT {agr} FROM scored_p) GROUP BY {gb}
+  SELECT {gb}, CAST(count(*) AS DOUBLE) AS n,
+         sum(CASE WHEN lg THEN 1 ELSE 0 END) AS n_log
+  FROM (SELECT {agr}, match_p >= {scoring.MATCH_TAU!r} AS lg FROM scored_p)
+  GROUP BY {gb}
 ),
 fs_p0 AS (SELECT {FS_LAM0!r} AS lam, {init})"""
     for k in range(1, FS_ITERS + 1):
@@ -1409,6 +1556,12 @@ fs_p{k} AS (
          {mcols}
   FROM fs_r{k}
 )"""
+    return sql
+
+
+def _fs_em_sql() -> str:
+    """DuckDB mirror of q_er_fs_em: the shared EM chain plus the
+    per-feature parameter unpivot."""
     finals = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS feature, round(m{i}, 6) + 0.0 AS m,"
         f" round(u{i}, 6) + 0.0 AS u,"
@@ -1417,7 +1570,80 @@ fs_p{k} AS (
         f" round(lam, 6) + 0.0 AS lam FROM fs_p{FS_ITERS}"
         for i, (name, _) in enumerate(FS_FEATURES)
     )
-    return sql + "\n" + finals
+    return _fs_em_chain() + "\n" + finals
+
+
+def _fs_posteriors_sql() -> str:
+    """DuckDB mirror of q_er_fs_posteriors: the shared EM chain, then
+    one pass over the census computing each pattern's posterior from the
+    final parameters (same left-to-right product order as the Python
+    side)."""
+    nf = len(FS_FEATURES)
+    pm = " * ".join(
+        f"(CASE WHEN a{i} THEN m{i} ELSE 1.0 - m{i} END)" for i in range(nf)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN a{i} THEN u{i} ELSE 1.0 - u{i} END)" for i in range(nf)
+    )
+    names = ", ".join(
+        f"a{i} AS agree_{c}" for i, (c, _) in enumerate(FS_FEATURES)
+    )
+    return (
+        _fs_em_chain()
+        + f"""
+SELECT {names},
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(n_log AS BIGINT) AS n_logistic_match,
+       round(pm / (pm + pu), 6) + 0.0 AS fs_posterior,
+       pm / (pm + pu) >= 0.5 AS fs_match
+FROM (
+  SELECT c.*, lam * {pm} AS pm,
+         (1.0 - lam) * {pu} AS pu
+  FROM fs_census c CROSS JOIN fs_p{FS_ITERS}
+)"""
+    )
+
+
+_GOLDEN_RECORD_SQL = """
+, gr_base AS (
+  SELECT cl.cluster_id, g.repo, g.path, g.commit, g.lang, g.n_tokens,
+         g.file_id
+  FROM clusters cl JOIN ing g USING (file_id)
+),
+gr_sizes AS (
+  SELECT cluster_id, count(*) AS n_members,
+         count(DISTINCT repo) AS n_repos,
+         max(commit) AS latest_commit
+  FROM gr_base GROUP BY cluster_id
+),
+gr_lang AS (
+  SELECT cluster_id, lang FROM (
+    SELECT cluster_id, lang,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cnt DESC, lang ASC) AS rk
+    FROM (SELECT cluster_id, lang, count(*) AS cnt
+          FROM gr_base GROUP BY cluster_id, lang)
+  ) WHERE rk = 1
+),
+gr_path AS (
+  SELECT cluster_id, path AS canonical_path,
+         n_tokens AS canonical_n_tokens
+  FROM (
+    SELECT cluster_id, path, n_tokens,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, file_id ASC) AS rk
+    FROM gr_base
+  ) WHERE rk = 1
+)
+SELECT s.cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(s.n_repos AS BIGINT) AS n_repos, l.lang,
+       p.canonical_path, CAST(p.canonical_n_tokens AS BIGINT)
+         AS canonical_n_tokens,
+       s.latest_commit
+FROM gr_sizes s
+JOIN gr_lang l USING (cluster_id)
+JOIN gr_path p USING (cluster_id)
+WHERE s.n_members >= 2"""
 
 
 def _one_to_one_sql() -> str:
@@ -1779,6 +2005,8 @@ WHERE s.n >= 2""",
                      / ((p_sum / n) + (r_sum / n)), 6) + 0.0) AS bcubed_f1
              FROM sums""",
         "er_fs_em": c + _fs_em_sql(),
+        "er_fs_posteriors": c + _fs_posteriors_sql(),
+        "er_golden_record": c + _GOLDEN_RECORD_SQL,
         "er_one_to_one": c + _one_to_one_sql(),
     }
 
@@ -1815,5 +2043,7 @@ QUERIES = {
     "er_sorted_neighborhood": q_sorted_neighborhood,
     "er_meta_blocking": q_meta_blocking,
     "er_fs_em": q_er_fs_em,
+    "er_fs_posteriors": q_er_fs_posteriors,
+    "er_golden_record": q_er_golden_record,
     "er_one_to_one": q_er_one_to_one,
 }

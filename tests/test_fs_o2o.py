@@ -98,6 +98,72 @@ def test_fs_em_separates_matches_on_fixture(spark):
         assert 0.0 < r.lam < 1.0
 
 
+def test_fs_posteriors_match_python_recompute(spark):
+    rows = _scored_rows(spark)
+    nf = len(er_queries.FS_FEATURES)
+    census = {}
+    for r in rows:
+        a = tuple(float(r[c]) >= t for c, t in er_queries.FS_FEATURES)
+        n, nl = census.get(a, (0, 0))
+        census[a] = (n + 1, nl + (float(r.match_p) >= scoring.MATCH_TAU))
+    lam, m, u = er_queries._fs_em_params(
+        [(a, float(n)) for a, (n, _) in census.items()]
+    )
+    got = er_queries.q_er_fs_posteriors(spark, SF_DIR).collect()
+    assert len(got) == len(census)
+    assert sum(r.n_pairs for r in got) == len(rows)
+    for r in got:
+        a = tuple(bool(r[f"agree_{c}"]) for c, _ in er_queries.FS_FEATURES)
+        n, nl = census[a]
+        assert r.n_pairs == n
+        assert r.n_logistic_match == nl
+        post = er_queries._fs_posterior(list(a), lam, m, u)
+        assert abs(r.fs_posterior - post) < 2e-6
+        assert r.fs_match == (post >= 0.5)
+    # on the fixture the unsupervised and supervised decisions agree on
+    # the all-agree and all-disagree patterns (the bulk of the mass)
+    for r in got:
+        ags = [bool(r[f"agree_{c}"]) for c, _ in er_queries.FS_FEATURES]
+        if all(ags):
+            assert r.fs_match and r.n_logistic_match == r.n_pairs
+        if not any(ags):
+            assert not r.fs_match and r.n_logistic_match == 0
+
+
+def test_golden_record_matches_python_survivorship(spark):
+    clusters = {
+        r.file_id: r.cluster_id
+        for r in er_queries._clusters(spark, SF_DIR).collect()
+    }
+    ing = er_queries._ingested(spark, SF_DIR).select(
+        "file_id", "repo", "path", "commit", "lang", "n_tokens"
+    ).collect()
+    members = {}
+    for r in ing:
+        members.setdefault(clusters[r.file_id], []).append(r)
+    got = {
+        r.cluster_id: r
+        for r in er_queries.q_er_golden_record(spark, SF_DIR).collect()
+    }
+    expected_ids = {cid for cid, ms in members.items() if len(ms) >= 2}
+    assert set(got) == expected_ids
+    for cid in expected_ids:
+        ms = members[cid]
+        g = got[cid]
+        assert g.n_members == len(ms)
+        assert g.n_repos == len({r.repo for r in ms})
+        assert g.latest_commit == max(r.commit for r in ms)
+        lang_counts = {}
+        for r in ms:
+            lang_counts[r.lang] = lang_counts.get(r.lang, 0) + 1
+        assert g.lang == min(
+            lang_counts, key=lambda v: (-lang_counts[v], v)
+        )
+        best = min(ms, key=lambda r: (-r.n_tokens, r.file_id))
+        assert g.canonical_path == best.path
+        assert g.canonical_n_tokens == best.n_tokens
+
+
 def _python_locally_dominant(edges, rounds):
     """Replay q_er_one_to_one's fixed-round algorithm in plain Python.
 
