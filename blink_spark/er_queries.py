@@ -564,6 +564,42 @@ def q_er_fs_posteriors(spark, sf_dir):
     )
 
 
+def q_er_fs_tf(spark, sf_dir):
+    """Term-frequency adjustment for the path-stem agreement level —
+    the Splink ``tf_adjustments`` idea: agreeing on a RARE stem is far
+    stronger match evidence than agreeing on a ubiquitous one, so the
+    value-specific u-probability is the value's frequency share
+    (u_v = tf_v) instead of the global u = Σ tf_v².  Output per stem:
+    its record count, tf share, and the additive weight correction
+    log2(u / u_v) to apply on top of the base agreement weight
+    (positive for rare stems, negative for common ones).
+
+    Plan (100 TB): ONE census aggregate over the deduplicated record
+    table (vocabulary-sized result) plus a scalar Σtf² broadcast — the
+    pair table is never touched; adjustments join onto scored pairs by
+    stem at serve time exactly like the broadcast dictionary lookups
+    (J6/J7)."""
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    census = reps.groupBy("path_stem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    tot = census.agg(
+        F.sum("n_records").cast("double").alias("n"),
+    )
+    tf = census.crossJoin(F.broadcast(tot)).select(
+        "path_stem",
+        "n_records",
+        (F.col("n_records") / F.col("n")).alias("tf"),
+    )
+    u = tf.agg(F.sum(F.col("tf") * F.col("tf")).alias("u"))
+    return tf.crossJoin(F.broadcast(u)).select(
+        "path_stem",
+        "n_records",
+        _r6("tf", 6).alias("tf"),
+        _r6(F.log2(F.col("u") / F.col("tf")), 6).alias("tf_adjustment"),
+    )
+
+
 def q_er_golden_record(spark, sf_dir):
     """Golden-record construction (MDM survivorship): every
     multi-member cluster fused into ONE record with per-attribute
@@ -1604,6 +1640,23 @@ FROM (
     )
 
 
+_FS_TF_SQL = """
+, tf_census AS (
+  SELECT path_stem, CAST(count(*) AS BIGINT) AS n_records FROM reps
+  GROUP BY path_stem
+),
+tf_tot AS (SELECT CAST(sum(n_records) AS DOUBLE) AS n FROM tf_census),
+tf_share AS (
+  SELECT path_stem, n_records, n_records / n AS tf
+  FROM tf_census CROSS JOIN tf_tot
+),
+tf_u AS (SELECT sum(tf * tf) AS u FROM tf_share)
+SELECT path_stem, n_records,
+       round(tf, 6) + 0.0 AS tf,
+       round(log2(u / tf), 6) + 0.0 AS tf_adjustment
+FROM tf_share CROSS JOIN tf_u"""
+
+
 _GOLDEN_RECORD_SQL = """
 , gr_base AS (
   SELECT cl.cluster_id, g.repo, g.path, g.commit, g.lang, g.n_tokens,
@@ -2006,6 +2059,7 @@ WHERE s.n >= 2""",
              FROM sums""",
         "er_fs_em": c + _fs_em_sql(),
         "er_fs_posteriors": c + _fs_posteriors_sql(),
+        "er_fs_tf": c + _FS_TF_SQL,
         "er_golden_record": c + _GOLDEN_RECORD_SQL,
         "er_one_to_one": c + _one_to_one_sql(),
     }
@@ -2044,6 +2098,7 @@ QUERIES = {
     "er_meta_blocking": q_meta_blocking,
     "er_fs_em": q_er_fs_em,
     "er_fs_posteriors": q_er_fs_posteriors,
+    "er_fs_tf": q_er_fs_tf,
     "er_golden_record": q_er_golden_record,
     "er_one_to_one": q_er_one_to_one,
 }

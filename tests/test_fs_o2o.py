@@ -130,6 +130,51 @@ def test_fs_posteriors_match_python_recompute(spark):
             assert not r.fs_match and r.n_logistic_match == 0
 
 
+def test_fs_tf_matches_python_recompute(spark):
+    from blink_spark import blocking
+
+    reps = blocking.representatives(
+        er_queries._with_sig(spark, SF_DIR)
+    ).select("path_stem").collect()
+    counts = {}
+    for r in reps:
+        counts[r.path_stem] = counts.get(r.path_stem, 0) + 1
+    n = float(sum(counts.values()))
+    u = sum((c / n) ** 2 for c in counts.values())
+    got = {r.path_stem: r for r in er_queries.q_er_fs_tf(spark, SF_DIR).collect()}
+    assert set(got) == set(counts)
+    tol = 2e-6
+    for stem, c in counts.items():
+        g = got[stem]
+        assert g.n_records == c
+        assert abs(g.tf - c / n) < tol
+        assert abs(g.tf_adjustment - math.log2(u / (c / n))) < tol
+        # rare stems gain weight, common ones lose it
+        assert (g.tf_adjustment > 0) == (c / n < u) or abs(c / n - u) < tol
+    assert abs(sum(c / n for c in counts.values()) - 1.0) < 1e-9
+
+
+def test_fs_em_params_metamorphic_invariances():
+    # EM on pattern censuses must be invariant to (a) scaling every count
+    # by a power of two (exact in IEEE arithmetic) and (b) pattern order
+    # (approximately — summation order changes)
+    patterns = [
+        ((True, True, True, True), 900.0),
+        ((True, True, False, True), 120.0),
+        ((False, False, False, False), 2000.0),
+        ((False, True, False, False), 300.0),
+        ((True, False, False, True), 7.0),
+    ]
+    lam, m, u = er_queries._fs_em_params(patterns)
+    lam4, m4, u4 = er_queries._fs_em_params(
+        [(a, n * 4.0) for a, n in patterns]
+    )
+    assert (lam4, m4, u4) == (lam, m, u)  # exact: 4x scales sums exactly
+    lamr, mr, ur = er_queries._fs_em_params(list(reversed(patterns)))
+    assert abs(lamr - lam) < 1e-12
+    assert all(abs(a - b) < 1e-12 for a, b in zip(mr + ur, m + u))
+
+
 def test_golden_record_matches_python_survivorship(spark):
     clusters = {
         r.file_id: r.cluster_id
