@@ -755,6 +755,287 @@ def q_er_one_to_one(spark, sf_dir):
     )
 
 
+def q_er_blocking_rules(spark, sf_dir):
+    """Blocking-rule attribution: per rule family — the ``ck:`` composite
+    (lang, path_stem) key vs the ``mh:`` MinHash-LSH band keys — how many
+    blocks and raw pair slots it generates, how many distinct candidate
+    pairs it contributes, how many of those are gold matches, how many
+    pairs ONLY it finds, and its standalone recall of the blocked gold
+    universe.  This is the rule-level union analysis record-linkage
+    practitioners run before committing to a blocking scheme (the
+    reference fixes its scheme a priori — Solr keyword + FAISS dense
+    retrieval, ``blink/main_dense.py:104-173`` — and never quantifies
+    each retriever's marginal contribution; this query does).
+
+    Plan (100 TB): block volume comes from the membership census alone
+    (one shuffle on block_key — counts, never pairs); the per-rule
+    distinct-pair sets run through the SAME capped/salted
+    ``blocking.candidate_pairs`` machinery as production, so a hot block
+    cannot blow up the diagnostic any more than it can the pipeline; the
+    rule-overlap census is one fixed-width groupBy over (left, right).
+    """
+    memb = _membership(spark, sf_dir).select("file_id", "block_key")
+    fam = memb.withColumn(
+        "rule",
+        F.when(
+            F.col("block_key").startswith("ck:"), F.lit("composite_key")
+        ).otherwise(F.lit("minhash_band")),
+    )
+    census = fam.groupBy("rule", "block_key").agg(F.count(F.lit(1)).alias("n"))
+    vol = census.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("n") * (F.col("n") - 1) / F.lit(2))
+        .cast("long")
+        .alias("n_pair_slots"),
+    )
+    rp = None
+    for r in ("composite_key", "minhash_band"):
+        p = (
+            blocking.candidate_pairs(
+                fam.filter(F.col("rule") == r).select("file_id", "block_key")
+            )
+            .select("left_id", "right_id")
+            .withColumn("rule", F.lit(r))
+        )
+        rp = p if rp is None else rp.unionByName(p)
+    gold = _rep_gold(spark, sf_dir)
+    gl = gold.select(
+        F.col("file_id").alias("left_id"), F.col("gold_cluster").alias("g_l")
+    )
+    gr = gold.select(
+        F.col("file_id").alias("right_id"), F.col("gold_cluster").alias("g_r")
+    )
+    rpl = (
+        rp.join(gl, "left_id")
+        .join(gr, "right_id")
+        .select(
+            "rule",
+            "left_id",
+            "right_id",
+            (F.col("g_l") == F.col("g_r")).alias("is_gold"),
+        )
+        .persist()
+    )
+    per_rule = rpl.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("is_gold").cast("long")).cast("long").alias("n_gold_pairs"),
+    )
+    pair_rules = rpl.groupBy("left_id", "right_id").agg(
+        F.countDistinct("rule").alias("n_rules"),
+        F.min("rule").alias("only_rule"),
+        F.max("is_gold").alias("is_gold"),
+    )
+    uniq = (
+        pair_rules.filter(F.col("n_rules") == 1)
+        .groupBy(F.col("only_rule").alias("rule"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique_pairs"),
+            F.sum(F.col("is_gold").cast("long"))
+            .cast("long")
+            .alias("n_unique_gold_pairs"),
+        )
+    )
+    tot = pair_rules.agg(
+        F.sum(F.col("is_gold").cast("long")).alias("total_gold")
+    )
+    return (
+        vol.join(per_rule, "rule")
+        .join(uniq, "rule", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rule",
+            "n_blocks",
+            "n_pair_slots",
+            "n_pairs",
+            "n_gold_pairs",
+            F.coalesce("n_unique_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_unique_pairs"),
+            F.coalesce("n_unique_gold_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_unique_gold_pairs"),
+            _r6(F.col("n_gold_pairs") / F.col("total_gold"), 6).alias(
+                "recall_vs_union"
+            ),
+        )
+    )
+
+
+# thresholds for the cluster-level operating-point sweep; MATCH_TAU first
+# so the sweep contains the production operating point as its anchor row
+THRESHOLD_TAUS = [0.5, 0.9, 0.99]
+
+
+def q_er_threshold_clusters(spark, sf_dir):
+    """Cluster-level threshold sweep: re-run transitive closure at each
+    match threshold in ``THRESHOLD_TAUS`` and report what the CLUSTERS
+    look like — edge count, non-singleton cluster count, max cluster
+    size, matched-file count, and pairwise precision/recall/F1 against
+    gold computed FROM the cluster assignment (every intra-cluster pair
+    counts, including pairs transitive closure inferred without scoring
+    them).  The edge-level ROC (``er_roc_curve``) cannot see
+    closure-induced over-merging; this sweep is the operating-point
+    picker for the actual deliverable, the clusters (the reference
+    tunes its NIL threshold the same way, on final-answer accuracy —
+    ``blink/main_dense.py:476-489``).
+
+    Plan (100 TB): per threshold, edges are a FILTER over the persisted
+    scored table (no re-scoring) and clustering reuses the rep-collapsed
+    large-star/small-star CC; all pairwise counts come from C(n,2) over
+    group sizes — aggregates only, never materialized pairs."""
+    ing = _ingested(spark, sf_dir)
+    membership = blocking.rep_map(ing)
+    gold = ing.select("file_id", "gold_cluster")
+    gp_row = (
+        gold.groupBy("gold_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / F.lit(2))
+            .cast("long")
+            .alias("gold_pairs")
+        )
+    )
+    scored = _scored(spark, sf_dir)
+    out = None
+    for tau in THRESHOLD_TAUS:
+        rep_edges = scored.filter(F.col("match_p") >= F.lit(tau)).select(
+            "left_id", "right_id"
+        )
+        ne = rep_edges.agg(F.count(F.lit(1)).cast("long").alias("n_match_edges"))
+        clusters = clustering.connected_components_via_reps(
+            rep_edges, membership
+        )
+        lbl = clusters.join(gold, "file_id")
+        sizes = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        cstats = sizes.agg(
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clusters"),
+            F.max("n").cast("long").alias("max_cluster_size"),
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_matched_files"),
+            F.sum(F.col("n") * (F.col("n") - 1) / F.lit(2))
+            .cast("long")
+            .alias("pred_pairs"),
+        )
+        correct = (
+            lbl.groupBy("cluster_id", "gold_cluster")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / F.lit(2))
+                .cast("long")
+                .alias("correct_pairs")
+            )
+        )
+        row = (
+            ne.crossJoin(cstats)
+            .crossJoin(correct)
+            .crossJoin(gp_row)
+            .select(F.lit(float(tau)).alias("tau"), "*")
+        )
+        out = row if out is None else out.unionByName(row)
+    prec = F.when(
+        F.col("pred_pairs") > 0, F.col("correct_pairs") / F.col("pred_pairs")
+    ).otherwise(F.lit(-1.0))
+    rec = F.col("correct_pairs") / F.col("gold_pairs")
+    return out.select(
+        _r6("tau", 6).alias("tau"),
+        "n_match_edges",
+        "n_clusters",
+        "max_cluster_size",
+        "n_matched_files",
+        "pred_pairs",
+        "correct_pairs",
+        "gold_pairs",
+        _r6(prec, 6).alias("precision"),
+        _r6(rec, 6).alias("recall"),
+        _r6(
+            F.when(
+                (prec > 0) & (prec + rec > 0),
+                F.lit(2.0) * prec * rec / (prec + rec),
+            ).otherwise(F.lit(-1.0)),
+            6,
+        ).alias("f1"),
+    )
+
+
+def q_er_triangles(spark, sf_dir):
+    """Per-cluster triangle census over the match-edge graph: wedges
+    (open 2-paths), closed triangles, and the transitivity ratio
+    3T/W — the structural over-merge diagnostic that separates clique-like
+    clusters (every match independently confirmed) from chain-like ones
+    held together by transitive inference alone (``er_cluster_density``'s
+    edge-count view cannot tell a path from a near-clique at equal
+    density; triangles can).
+
+    Plan (100 TB): edges are already canonically oriented left<right, so
+    the triangle count is the standard two-join enumeration on the
+    oriented graph (each triangle counted exactly once); wedge counts are
+    C(deg,2) over the symmetric degree — one aggregate.  Both shuffles key
+    on node/edge ids; nothing touches payloads and nothing is quadratic
+    in cluster size beyond the true wedge/triangle counts themselves."""
+    e = _edges(spark, sf_dir).persist()
+    lbl = _clusters(spark, sf_dir)
+    sym = e.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).unionByName(
+        e.select(F.col("right_id").alias("src"), F.col("left_id").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        deg.join(lbl, deg.src == lbl.file_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / F.lit(2))
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    e1 = e.select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
+    e2 = e.select(F.col("left_id").alias("b"), F.col("right_id").alias("c"))
+    e3 = e.select(F.col("left_id").alias("a"), F.col("right_id").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tric = (
+        tri.join(lbl, tri.a == lbl.file_id)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    edges_c = (
+        e.join(lbl, e.left_id == lbl.file_id)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    sizes = lbl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    out = (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(edges_c, "cluster_id", "left")
+        .join(wedges, "cluster_id", "left")
+        .join(tric, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_wedges", F.lit(0)).cast("long").alias("n_wedges"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )
+    return out.withColumn(
+        "transitivity",
+        _r6(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(-1.0)),
+            6,
+        ),
+    )
+
+
 def q_clusters(spark, sf_dir):
     """Stage D connected components (KBP clustering analog)."""
     return _clusters(spark, sf_dir)
@@ -1750,6 +2031,168 @@ FROM ({union})"""
     )
 
 
+_BLOCKING_RULES_SQL = """
+, fam AS (
+  SELECT file_id, block_key,
+         CASE WHEN block_key LIKE 'ck:%' THEN 'composite_key'
+              ELSE 'minhash_band' END AS rule
+  FROM memb
+),
+fam_census AS (SELECT rule, block_key, count(*) AS n FROM fam GROUP BY 1, 2),
+vol AS (
+  SELECT rule, count(*)::BIGINT AS n_blocks,
+         CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_pair_slots
+  FROM fam_census GROUP BY rule
+),
+rp AS (
+  SELECT DISTINCT l.rule, l.file_id AS left_id, r.file_id AS right_id
+  FROM fam l JOIN fam r ON l.block_key = r.block_key AND l.file_id < r.file_id
+),
+goldm AS (SELECT file_id, gold_cluster FROM reps),
+rpl AS (
+  SELECT rp.rule, rp.left_id, rp.right_id,
+         gl.gold_cluster = gr.gold_cluster AS is_gold
+  FROM rp
+  JOIN goldm gl ON rp.left_id = gl.file_id
+  JOIN goldm gr ON rp.right_id = gr.file_id
+),
+per_rule AS (
+  SELECT rule, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN is_gold THEN 1 ELSE 0 END)::BIGINT AS n_gold_pairs
+  FROM rpl GROUP BY rule
+),
+pair_rules AS (
+  SELECT left_id, right_id, count(DISTINCT rule) AS n_rules,
+         min(rule) AS only_rule, bool_or(is_gold) AS is_gold
+  FROM rpl GROUP BY 1, 2
+),
+uniq AS (
+  SELECT only_rule AS rule, count(*)::BIGINT AS n_unique_pairs,
+         sum(CASE WHEN is_gold THEN 1 ELSE 0 END)::BIGINT
+           AS n_unique_gold_pairs
+  FROM pair_rules WHERE n_rules = 1 GROUP BY only_rule
+),
+tot AS (
+  SELECT sum(CASE WHEN is_gold THEN 1 ELSE 0 END) AS total_gold
+  FROM pair_rules
+)
+SELECT v.rule, v.n_blocks, v.n_pair_slots, p.n_pairs, p.n_gold_pairs,
+       coalesce(u.n_unique_pairs, 0)::BIGINT AS n_unique_pairs,
+       coalesce(u.n_unique_gold_pairs, 0)::BIGINT AS n_unique_gold_pairs,
+       round(p.n_gold_pairs / t.total_gold, 6) + 0.0 AS recall_vs_union
+FROM vol v JOIN per_rule p USING (rule)
+LEFT JOIN uniq u USING (rule) CROSS JOIN tot t"""
+
+
+def _threshold_clusters_sql() -> str:
+    """DuckDB mirror of q_er_threshold_clusters: one recursive min-label
+    walk per threshold (the same independent-closure formulation the main
+    chain uses at MATCH_TAU), then pure aggregate pairwise metrics."""
+    parts, rows = [], []
+    for i, tau in enumerate(THRESHOLD_TAUS):
+        t = f"t{i}"
+        parts.append(f""",
+me_{t} AS (
+  SELECT left_id, right_id FROM scored_p WHERE match_p >= {tau!r}
+  UNION
+  SELECT left_id, right_id FROM sha_edges
+),
+sym_{t} AS (
+  SELECT left_id AS src, right_id AS dst FROM me_{t}
+  UNION
+  SELECT right_id, left_id FROM me_{t}
+),
+walk_{t}(node, lbl) AS (
+  SELECT file_id, file_id FROM ing
+  UNION
+  SELECT s.dst, w.lbl FROM walk_{t} w JOIN sym_{t} s ON s.src = w.node
+),
+clus_{t} AS (
+  SELECT node AS file_id, min(lbl) AS cluster_id FROM walk_{t} GROUP BY node
+),
+lbl_{t} AS (
+  SELECT c.cluster_id, i.gold_cluster
+  FROM clus_{t} c JOIN ing i USING (file_id)
+),
+sizes_{t} AS (SELECT cluster_id, count(*) AS n FROM lbl_{t} GROUP BY 1),
+cg_{t} AS (
+  SELECT cluster_id, gold_cluster, count(*) AS m FROM lbl_{t} GROUP BY 1, 2
+),
+sum_{t} AS (
+  -- CAST: bare literals are DECIMAL and the sweep's UNION ALL would
+  -- coerce every branch to the FIRST branch's (narrower) decimal type
+  SELECT CAST({tau!r} AS DOUBLE) AS tau,
+         (SELECT count(*) FROM scored_p WHERE match_p >= {tau!r})::BIGINT
+           AS n_match_edges,
+         (SELECT count(*) FROM sizes_{t} WHERE n >= 2)::BIGINT AS n_clusters,
+         (SELECT max(n) FROM sizes_{t})::BIGINT AS max_cluster_size,
+         (SELECT coalesce(sum(n), 0) FROM sizes_{t} WHERE n >= 2)::BIGINT
+           AS n_matched_files,
+         (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM sizes_{t})
+           AS pred_pairs,
+         (SELECT CAST(sum(m * (m - 1) / 2) AS BIGINT) FROM cg_{t})
+           AS correct_pairs
+)""")
+        rows.append(f"SELECT * FROM sum_{t}")
+    union = "\nUNION ALL\n".join(rows)
+    return "".join(parts) + f""",
+gp AS (
+  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS gold_pairs
+  FROM (SELECT count(*) AS n FROM ing GROUP BY gold_cluster)
+),
+sweep AS ({union})
+SELECT round(tau, 6) + 0.0 AS tau, n_match_edges, n_clusters,
+       max_cluster_size, n_matched_files, pred_pairs, correct_pairs,
+       gold_pairs,
+       round(p, 6) + 0.0 AS "precision",
+       round(r, 6) + 0.0 AS recall,
+       round(CASE WHEN p > 0 AND p + r > 0
+                  THEN 2.0 * p * r / (p + r) ELSE -1.0 END, 6) + 0.0 AS f1
+FROM (
+  SELECT s.*, gp.gold_pairs,
+         CASE WHEN s.pred_pairs > 0
+              THEN s.correct_pairs / CAST(s.pred_pairs AS DOUBLE)
+              ELSE -1.0 END AS p,
+         s.correct_pairs / CAST(gp.gold_pairs AS DOUBLE) AS r
+  FROM sweep s CROSS JOIN gp
+)"""
+
+
+_TRIANGLES_SQL = """
+, deg3 AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+wed AS (
+  SELECT cl.cluster_id,
+         CAST(sum(d.deg * (d.deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg3 d JOIN clusters cl ON d.src = cl.file_id GROUP BY 1
+),
+tri AS (
+  SELECT e1.left_id AS a
+  FROM match_edges e1
+  JOIN match_edges e2 ON e2.left_id = e1.right_id
+  JOIN match_edges e3
+    ON e3.left_id = e1.left_id AND e3.right_id = e2.right_id
+),
+tric AS (
+  SELECT cl.cluster_id, count(*)::BIGINT AS n_triangles
+  FROM tri JOIN clusters cl ON tri.a = cl.file_id GROUP BY 1
+),
+ec AS (
+  SELECT cl.cluster_id, count(*)::BIGINT AS n_edges
+  FROM match_edges e JOIN clusters cl ON e.left_id = cl.file_id GROUP BY 1
+),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM clusters GROUP BY 1)
+SELECT s.cluster_id, s.n_members,
+       coalesce(ec.n_edges, 0)::BIGINT AS n_edges,
+       coalesce(wed.n_wedges, 0)::BIGINT AS n_wedges,
+       coalesce(tric.n_triangles, 0)::BIGINT AS n_triangles,
+       round(CASE WHEN coalesce(wed.n_wedges, 0) > 0
+                  THEN 3.0 * coalesce(tric.n_triangles, 0) / wed.n_wedges
+                  ELSE -1.0 END, 6) + 0.0 AS transitivity
+FROM sz s LEFT JOIN ec USING (cluster_id) LEFT JOIN wed USING (cluster_id)
+LEFT JOIN tric USING (cluster_id)
+WHERE s.n_members >= 2"""
+
+
 def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     c = _cte_chain(sf)
     # recursive CTE must be declared on the WITH; prepend keyword
@@ -2062,6 +2505,9 @@ WHERE s.n >= 2""",
         "er_fs_tf": c + _FS_TF_SQL,
         "er_golden_record": c + _GOLDEN_RECORD_SQL,
         "er_one_to_one": c + _one_to_one_sql(),
+        "er_blocking_rules": c + _BLOCKING_RULES_SQL,
+        "er_threshold_clusters": c + _threshold_clusters_sql(),
+        "er_triangles": c + _TRIANGLES_SQL,
     }
 
 
@@ -2101,4 +2547,7 @@ QUERIES = {
     "er_fs_tf": q_er_fs_tf,
     "er_golden_record": q_er_golden_record,
     "er_one_to_one": q_er_one_to_one,
+    "er_blocking_rules": q_er_blocking_rules,
+    "er_threshold_clusters": q_er_threshold_clusters,
+    "er_triangles": q_er_triangles,
 }

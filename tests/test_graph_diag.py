@@ -1,0 +1,228 @@
+"""Semantic pins for the graph/blocking diagnostics added this session:
+
+- ``er_blocking_rules`` — every reported count must equal an independent
+  plain-Python recompute from the raw (file_id, block_key) membership and
+  rep-level gold labels (the query routes pair-sets through the capped
+  ``blocking.candidate_pairs`` machinery; the replay builds them naively —
+  agreement proves the cap/salt path drops or invents nothing), and the
+  union recall must decompose: shared + unique-per-rule = union.
+- ``er_threshold_clusters`` — per-threshold cluster metrics must equal a
+  plain union-find replay over the same thresholded edges (an entirely
+  different closure algorithm from large-star/small-star), and the sweep
+  must be monotone in the threshold where mathematics demands it.
+- ``er_triangles`` — wedge/triangle counts must equal a brute-force
+  adjacency-set recompute per cluster, and 3T ≤ W must hold row-wise
+  (every triangle closes exactly three wedges).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from itertools import combinations
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blink_spark import blocking, er_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_blocking_rules_match_python_recompute(spark):
+    memb = er_queries._membership(spark, SF_DIR).select(
+        "file_id", "block_key"
+    ).collect()
+    gold = {
+        r.file_id: r.gold_cluster
+        for r in er_queries._rep_gold(spark, SF_DIR).collect()
+    }
+    rule_of = lambda k: "composite_key" if k.startswith("ck:") else "minhash_band"  # noqa: E731
+    blocks: dict[tuple[str, str], list[str]] = {}
+    for r in memb:
+        blocks.setdefault((rule_of(r.block_key), r.block_key), []).append(
+            r.file_id
+        )
+    exp = {
+        rule: dict(n_blocks=0, n_pair_slots=0, pairs=set())
+        for rule in ("composite_key", "minhash_band")
+    }
+    for (rule, _), members in blocks.items():
+        e = exp[rule]
+        e["n_blocks"] += 1
+        n = len(members)
+        e["n_pair_slots"] += n * (n - 1) // 2
+        for a, b in combinations(sorted(members), 2):
+            e["pairs"].add((a, b))
+    union_gold = {
+        p
+        for e in exp.values()
+        for p in e["pairs"]
+        if gold[p[0]] == gold[p[1]]
+    }
+    assert union_gold, "fixture must produce gold pairs in blocks"
+
+    got = {r.rule: r for r in er_queries.q_er_blocking_rules(spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for rule, e in exp.items():
+        g = got[rule]
+        other = exp["minhash_band" if rule == "composite_key" else "composite_key"]
+        gold_pairs = {p for p in e["pairs"] if gold[p[0]] == gold[p[1]]}
+        uniq = e["pairs"] - other["pairs"]
+        assert g.n_blocks == e["n_blocks"]
+        assert g.n_pair_slots == e["n_pair_slots"]
+        assert g.n_pairs == len(e["pairs"])
+        assert g.n_gold_pairs == len(gold_pairs)
+        assert g.n_unique_pairs == len(uniq)
+        assert g.n_unique_gold_pairs == len(
+            {p for p in uniq if gold[p[0]] == gold[p[1]]}
+        )
+        assert abs(g.recall_vs_union - len(gold_pairs) / len(union_gold)) < 2e-6
+    # decomposition: union gold = shared gold + each rule's unique gold
+    shared_gold = {
+        p
+        for p in exp["composite_key"]["pairs"] & exp["minhash_band"]["pairs"]
+        if gold[p[0]] == gold[p[1]]
+    }
+    assert len(union_gold) == (
+        len(shared_gold)
+        + got["composite_key"].n_unique_gold_pairs
+        + got["minhash_band"].n_unique_gold_pairs
+    )
+
+
+class _UF:
+    def __init__(self):
+        self.p: dict[str, str] = {}
+
+    def find(self, x):
+        p = self.p
+        while p.setdefault(x, x) != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_threshold_clusters_match_union_find_replay(spark):
+    scored = er_queries._scored(spark, SF_DIR).select(
+        "left_id", "right_id", "match_p"
+    ).collect()
+    sha = blocking.exact_dup_edges(
+        er_queries._ingested(spark, SF_DIR)
+    ).select("left_id", "right_id").collect()
+    gold = {
+        r.file_id: r.gold_cluster
+        for r in er_queries._ingested(spark, SF_DIR)
+        .select("file_id", "gold_cluster")
+        .collect()
+    }
+    gsz: dict[str, int] = {}
+    for g in gold.values():
+        gsz[g] = gsz.get(g, 0) + 1
+    gold_pairs = sum(n * (n - 1) // 2 for n in gsz.values())
+
+    got = {
+        round(r.tau, 6): r
+        for r in er_queries.q_er_threshold_clusters(spark, SF_DIR).collect()
+    }
+    assert set(got) == {round(t, 6) for t in er_queries.THRESHOLD_TAUS}
+
+    for tau in er_queries.THRESHOLD_TAUS:
+        uf = _UF()
+        for fid in gold:
+            uf.find(fid)
+        n_edges = 0
+        for r in scored:
+            if float(r.match_p) >= tau:
+                n_edges += 1
+                uf.union(r.left_id, r.right_id)
+        for r in sha:
+            uf.union(r.left_id, r.right_id)
+        members: dict[str, list[str]] = {}
+        for fid in gold:
+            members.setdefault(uf.find(fid), []).append(fid)
+        sizes = [len(v) for v in members.values()]
+        pred = sum(n * (n - 1) // 2 for n in sizes)
+        correct = 0
+        for ms in members.values():
+            cg: dict[str, int] = {}
+            for fid in ms:
+                cg[gold[fid]] = cg.get(gold[fid], 0) + 1
+            correct += sum(m * (m - 1) // 2 for m in cg.values())
+        g = got[round(tau, 6)]
+        assert g.n_match_edges == n_edges
+        assert g.n_clusters == sum(1 for n in sizes if n >= 2)
+        assert g.max_cluster_size == max(sizes)
+        assert g.n_matched_files == sum(n for n in sizes if n >= 2)
+        assert g.pred_pairs == pred
+        assert g.correct_pairs == correct
+        assert g.gold_pairs == gold_pairs
+        p = correct / pred if pred > 0 else -1.0
+        r_ = correct / gold_pairs
+        assert abs(g.precision - p) < 2e-6
+        assert abs(g.recall - r_) < 2e-6
+        f1 = 2 * p * r_ / (p + r_) if p > 0 and p + r_ > 0 else -1.0
+        assert abs(g.f1 - f1) < 2e-6
+
+    # monotone in tau: fewer edges ⇒ refinement ⇒ recall cannot rise
+    taus = sorted(er_queries.THRESHOLD_TAUS)
+    for lo, hi in zip(taus, taus[1:]):
+        assert got[round(hi, 6)].n_match_edges <= got[round(lo, 6)].n_match_edges
+        assert got[round(hi, 6)].pred_pairs <= got[round(lo, 6)].pred_pairs
+        assert got[round(hi, 6)].recall <= got[round(lo, 6)].recall + 1e-9
+
+
+def test_triangles_match_bruteforce_recompute(spark):
+    edges = [
+        (r.left_id, r.right_id)
+        for r in er_queries._edges(spark, SF_DIR).collect()
+    ]
+    clusters: dict[str, str] = {
+        r.file_id: r.cluster_id
+        for r in er_queries._clusters(spark, SF_DIR).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        assert a < b, "edges must be canonically oriented"
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp: dict[str, dict[str, int]] = {}
+    sizes: dict[str, int] = {}
+    for fid, cid in clusters.items():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    for cid, n in sizes.items():
+        if n >= 2:
+            exp[cid] = dict(n_members=n, n_edges=0, n_wedges=0, n_triangles=0)
+    for a, b in edges:
+        exp[clusters[a]]["n_edges"] += 1
+    for v, nb in adj.items():
+        d = len(nb)
+        exp[clusters[v]]["n_wedges"] += d * (d - 1) // 2
+    for a, b in edges:
+        # common neighbors c with a<b<c close a triangle counted once
+        for c in adj[a] & adj[b]:
+            if c > b:
+                exp[clusters[a]]["n_triangles"] += 1
+
+    got = {r.cluster_id: r for r in er_queries.q_er_triangles(spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for cid, e in exp.items():
+        g = got[cid]
+        assert g.n_members == e["n_members"]
+        assert g.n_edges == e["n_edges"]
+        assert g.n_wedges == e["n_wedges"]
+        assert g.n_triangles == e["n_triangles"]
+        # every triangle closes exactly 3 wedges
+        assert 3 * g.n_triangles <= g.n_wedges or g.n_wedges == 0
+        if g.n_wedges > 0:
+            assert abs(g.transitivity - 3.0 * g.n_triangles / g.n_wedges) < 2e-6
+        else:
+            assert g.transitivity == -1.0
+    # the fixture's sha-duplicate stars guarantee at least one chain-like
+    # (triangle-free) structure AND the dense score blocks at least one
+    # triangle-rich one — both regimes must be represented
+    assert any(g.n_triangles > 0 for g in got.values())
