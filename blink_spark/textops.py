@@ -647,6 +647,59 @@ def q_doc_tfidf_top_terms(spark, sf_dir):
     )
 
 
+BPE_MERGE_TOP_K = 50
+
+
+def q_doc_bpe_merges(spark, sf_dir):
+    """First BPE-training iteration (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"): pretokenize
+    the corpus with the GPT-2-style regex, census the letter-run
+    pretokens (leading space kept — the Ġ-marker convention), then count
+    every adjacent character pair weighted by pretoken frequency and
+    rank the top ``BPE_MERGE_TOP_K`` merge candidates.  This is the
+    statistic a tokenizer-training pipeline computes over the whole
+    corpus before the first merge is chosen.
+
+    Restricted to ``^ ?[A-Za-z]+$`` pretokens: merges over letter runs
+    are the ones BPE vocabularies are made of, and ASCII-only symbols
+    keep character indexing engine-independent.
+
+    Scale shape: the corpus collapses to a vocabulary-sized word census
+    at the FIRST shuffle (words repeat at Zipf rates), pair extraction
+    runs over distinct words only (JVM array ops — ``sequence`` →
+    ``substring``), and the final ranking window runs over the pair
+    alphabet (bounded ~(53)², a few kB) — the corpus-sized data is
+    touched exactly once, by the pretokenizer scan."""
+    docs = load_documents(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.col("w").rlike("^ ?[A-Za-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_counts = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+    )
+    w_rank = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        pair_counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= BPE_MERGE_TOP_K)
+        .select(F.col("rank").cast("long").alias("rank"), "pair", "n_occurrences")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) over the pre-registered `documents` view
 # ---------------------------------------------------------------------------
@@ -1239,6 +1292,30 @@ p AS (
   SELECT * FROM walk
 )
 SELECT doc_id, shard, seq_id, pos_in_seq, n_tokens FROM p"""
+
+    sql["doc_bpe_merges"] = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS w
+  FROM documents
+),
+words AS (
+  SELECT w, count(*) AS n FROM toks
+  WHERE regexp_full_match(w, ' ?[A-Za-z]+')
+  GROUP BY w
+),
+prs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 1]))
+           AS pair,
+         n
+  FROM words WHERE length(w) >= 2
+),
+pc AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences FROM prs GROUP BY pair)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank,
+         pair, n_occurrences
+  FROM pc
+) WHERE rank <= {BPE_MERGE_TOP_K}"""
     return sql
 
 
@@ -1818,4 +1895,5 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_lsh_band_tuning": q_doc_lsh_band_tuning,
     "doc_winnow_clone_pairs": q_doc_winnow_clone_pairs,
+    "doc_bpe_merges": q_doc_bpe_merges,
 }

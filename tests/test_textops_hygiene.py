@@ -230,3 +230,40 @@ def test_pack_sequences_greedy_invariants(spark):
     # every doc packed exactly once
     ids = [r.doc_id for r in packed]
     assert len(ids) == len(set(ids)) == 500
+
+
+def test_bpe_merges_match_python_recompute(spark):
+    """doc_bpe_merges must equal a regex-module recompute of the first
+    BPE merge census (Python `re` vs Java regex vs DuckDB RE2 — a third
+    engine agreeing pins the pretokenizer's cross-engine contract), and
+    the ranking must be the deterministic (count DESC, pair ASC) order."""
+    import re
+    from collections import Counter
+
+    docs = textops.load_documents(spark, "/root/testdata/sf0.001").select(
+        "text"
+    ).collect()
+    tok_re = re.compile(textops.BPE_TOKEN_RE)
+    word_re = re.compile(r"^ ?[A-Za-z]+$")
+    words = Counter()
+    for r in docs:
+        for w in tok_re.findall(r.text):
+            if word_re.match(w):
+                words[w] += 1
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : textops.BPE_MERGE_TOP_K
+    ]
+
+    got = sorted(
+        textops.q_doc_bpe_merges(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.pair, r.n_occurrences) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    # the fixture corpus is English-heavy: the space-joined bigrams that
+    # seed real BPE vocabularies must dominate the head
+    assert any(r.pair.startswith(" ") for r in got[:10])
