@@ -1036,6 +1036,119 @@ def q_er_triangles(spark, sf_dir):
     )
 
 
+def q_er_rand_index(spark, sf_dir):
+    """Pair-counting external cluster-quality indices vs gold: Rand,
+    Adjusted Rand (Hubert–Arabie), Fowlkes–Mallows, and pairwise Jaccard
+    — the standard ER evaluation complement to ``er_bcubed`` (B-cubed is
+    record-averaged; these are pair-counted, so huge clusters weigh
+    quadratically — exactly the sensitivity an over-merge audit wants).
+
+    Plan (100 TB): everything derives from the (cluster, gold)
+    contingency cells — three combinable aggregates over the labeled
+    record table, output is ONE row; no pair is ever materialized."""
+    lbl = _clusters(spark, sf_dir).join(
+        _ingested(spark, sf_dir).select("file_id", "gold_cluster"), "file_id"
+    )
+    c2 = lambda c: F.sum(F.col(c) * (F.col(c) - 1) / F.lit(2))  # noqa: E731
+    cells = (
+        lbl.groupBy("cluster_id", "gold_cluster")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(c2("m").cast("long").alias("agree_pairs"))
+    )
+    rows = (
+        lbl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(c2("n").cast("long").alias("pred_pairs"))
+    )
+    cols = (
+        lbl.groupBy("gold_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(c2("n").cast("long").alias("gold_pairs"))
+    )
+    nrec = lbl.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    j = cells.crossJoin(rows).crossJoin(cols).crossJoin(nrec)
+    n = F.col("n_records")
+    tot = n * (n - 1) / F.lit(2)
+    a, b1, b2 = F.col("agree_pairs"), F.col("pred_pairs"), F.col("gold_pairs")
+    exp_a = b1 * b2 / tot
+    return j.select(
+        "n_records",
+        "pred_pairs",
+        "gold_pairs",
+        "agree_pairs",
+        _r6((tot - b1 - b2 + F.lit(2.0) * a) / tot, 6).alias("rand_index"),
+        _r6(
+            (a - exp_a) / ((b1 + b2) / F.lit(2.0) - exp_a), 6
+        ).alias("adjusted_rand"),
+        _r6(a / F.sqrt(b1 * b2), 6).alias("fowlkes_mallows"),
+        _r6(a / (b1 + b2 - a), 6).alias("jaccard_index"),
+    )
+
+
+# side split for the clean-clean linkage demo: last hex nibble of the
+# content-free file_id — deterministic, uniform, engine-independent
+_EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
+
+
+def q_er_bipartite_link(spark, sf_dir):
+    """Clean-clean record linkage (two-dataset link, not dedup): split
+    the corpus into sources A/B by file_id nibble parity, keep only the
+    CROSS-source candidate pairs, and emit each A record's best B match
+    — rank-1 under (match_p DESC, b_id ASC) — with its threshold verdict
+    and a mutual-best flag (B's best A is this A).  This is the
+    ``link_only`` workload of record-linkage practice: each dataset is
+    internally duplicate-free by assumption, so within-source pairs are
+    excluded a priori and each record links to at most one counterpart
+    (the reference's per-mention argmax over a SEPARATE entity catalogue,
+    ``blink/main_dense.py:476-489``, is exactly this shape — mentions
+    never match mentions).
+
+    Plan (100 TB): cross-source pairs are a FILTER over the persisted
+    scored table (blocking and scoring are shared with the dedup path —
+    in production the source-id predicate would push into the pair
+    generation, same plan shape); best-match is one window shuffle per
+    side keyed on the record id; the mutual join is id-keyed."""
+    s = _scored(spark, sf_dir).select("left_id", "right_id", "match_p")
+    is_a = lambda c: F.substring(F.col(c), 64, 1).isin(_EVEN_NIBBLES)  # noqa: E731
+    cross = s.filter(is_a("left_id") != is_a("right_id")).select(
+        F.when(is_a("left_id"), F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("a_id"),
+        F.when(is_a("left_id"), F.col("right_id"))
+        .otherwise(F.col("left_id"))
+        .alias("b_id"),
+        "match_p",
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("match_p").desc(), F.col("b_id").asc()
+    )
+    best_a = (
+        cross.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("match_p").desc(), F.col("a_id").asc()
+    )
+    best_b = (
+        cross.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(F.col("b_id").alias("_b"), F.col("a_id").alias("_a_of_b"))
+    )
+    return (
+        best_a.join(best_b, best_a.b_id == best_b._b, "left")
+        .select(
+            "a_id",
+            "b_id",
+            _r6("match_p", 6).alias("match_p"),
+            (F.col("match_p") >= F.lit(scoring.MATCH_TAU)).alias("is_match"),
+            F.coalesce(F.col("_a_of_b") == F.col("a_id"), F.lit(False)).alias(
+                "mutual_best"
+            ),
+        )
+    )
+
+
 def q_clusters(spark, sf_dir):
     """Stage D connected components (KBP clustering analog)."""
     return _clusters(spark, sf_dir)
@@ -2193,6 +2306,75 @@ LEFT JOIN tric USING (cluster_id)
 WHERE s.n_members >= 2"""
 
 
+_RAND_INDEX_SQL = """
+, lblr AS (
+  SELECT c.cluster_id, i.gold_cluster
+  FROM clusters c JOIN ing i USING (file_id)
+),
+cellsr AS (
+  SELECT CAST(sum(m * (m - 1) / 2) AS BIGINT) AS agree_pairs
+  FROM (SELECT count(*) AS m FROM lblr GROUP BY cluster_id, gold_cluster)
+),
+rowsr AS (
+  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pred_pairs
+  FROM (SELECT count(*) AS n FROM lblr GROUP BY cluster_id)
+),
+colsr AS (
+  SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS gold_pairs
+  FROM (SELECT count(*) AS n FROM lblr GROUP BY gold_cluster)
+),
+nrecr AS (SELECT count(*)::BIGINT AS n_records FROM lblr)
+SELECT n_records, pred_pairs, gold_pairs, agree_pairs,
+  round((tot - pred_pairs - gold_pairs + 2.0 * agree_pairs) / tot, 6) + 0.0
+    AS rand_index,
+  round((agree_pairs - exp_a)
+        / ((pred_pairs + gold_pairs) / 2.0 - exp_a), 6) + 0.0
+    AS adjusted_rand,
+  round(agree_pairs / sqrt(CAST(pred_pairs AS DOUBLE) * gold_pairs), 6) + 0.0
+    AS fowlkes_mallows,
+  round(CAST(agree_pairs AS DOUBLE)
+        / (pred_pairs + gold_pairs - agree_pairs), 6) + 0.0
+    AS jaccard_index
+FROM (
+  SELECT *, n_records * (n_records - 1) / 2 AS tot,
+         pred_pairs * gold_pairs / (n_records * (n_records - 1) / 2) AS exp_a
+  FROM cellsr CROSS JOIN rowsr CROSS JOIN colsr CROSS JOIN nrecr
+)"""
+
+
+def _bipartite_link_sql() -> str:
+    evens = ", ".join(f"'{x}'" for x in _EVEN_NIBBLES)
+    side = lambda c: f"substr({c}, 64, 1) IN ({evens})"  # noqa: E731
+    return f"""
+, crossp AS (
+  SELECT CASE WHEN {side('left_id')} THEN left_id ELSE right_id END AS a_id,
+         CASE WHEN {side('left_id')} THEN right_id ELSE left_id END AS b_id,
+         match_p
+  FROM scored_p
+  WHERE ({side('left_id')}) <> ({side('right_id')})
+),
+best_a AS (
+  SELECT * FROM (
+    SELECT a_id, b_id, match_p,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY match_p DESC, b_id ASC) AS rk
+    FROM crossp
+  ) WHERE rk = 1
+),
+best_b AS (
+  SELECT * FROM (
+    SELECT b_id AS bb, a_id AS a_of_b,
+           row_number() OVER (PARTITION BY b_id
+                              ORDER BY match_p DESC, a_id ASC) AS rk
+    FROM crossp
+  ) WHERE rk = 1
+)
+SELECT a.a_id, a.b_id, round(a.match_p, 6) + 0.0 AS match_p,
+       a.match_p >= {scoring.MATCH_TAU!r} AS is_match,
+       coalesce(b.a_of_b = a.a_id, FALSE) AS mutual_best
+FROM best_a a LEFT JOIN best_b b ON a.b_id = b.bb"""
+
+
 def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     c = _cte_chain(sf)
     # recursive CTE must be declared on the WITH; prepend keyword
@@ -2508,6 +2690,8 @@ WHERE s.n >= 2""",
         "er_blocking_rules": c + _BLOCKING_RULES_SQL,
         "er_threshold_clusters": c + _threshold_clusters_sql(),
         "er_triangles": c + _TRIANGLES_SQL,
+        "er_rand_index": c + _RAND_INDEX_SQL,
+        "er_bipartite_link": c + _bipartite_link_sql(),
     }
 
 
@@ -2550,4 +2734,6 @@ QUERIES = {
     "er_blocking_rules": q_er_blocking_rules,
     "er_threshold_clusters": q_er_threshold_clusters,
     "er_triangles": q_er_triangles,
+    "er_rand_index": q_er_rand_index,
+    "er_bipartite_link": q_er_bipartite_link,
 }

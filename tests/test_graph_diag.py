@@ -226,3 +226,89 @@ def test_triangles_match_bruteforce_recompute(spark):
     # (triangle-free) structure AND the dense score blocks at least one
     # triangle-rich one — both regimes must be represented
     assert any(g.n_triangles > 0 for g in got.values())
+
+
+def test_rand_index_matches_python_recompute(spark):
+    lbl = (
+        er_queries._clusters(spark, SF_DIR)
+        .join(
+            er_queries._ingested(spark, SF_DIR).select(
+                "file_id", "gold_cluster"
+            ),
+            "file_id",
+        )
+        .collect()
+    )
+    cells: dict[tuple[str, str], int] = {}
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for r in lbl:
+        cells[(r.cluster_id, r.gold_cluster)] = (
+            cells.get((r.cluster_id, r.gold_cluster), 0) + 1
+        )
+        rows[r.cluster_id] = rows.get(r.cluster_id, 0) + 1
+        cols[r.gold_cluster] = cols.get(r.gold_cluster, 0) + 1
+    c2 = lambda n: n * (n - 1) // 2  # noqa: E731
+    a = sum(c2(m) for m in cells.values())
+    b1 = sum(c2(n) for n in rows.values())
+    b2 = sum(c2(n) for n in cols.values())
+    n = len(lbl)
+    tot = c2(n)
+    exp_a = b1 * b2 / tot
+
+    g = er_queries.q_er_rand_index(spark, SF_DIR).collect()[0]
+    tol = 2e-6
+    assert g.n_records == n
+    assert g.pred_pairs == b1
+    assert g.gold_pairs == b2
+    assert g.agree_pairs == a
+    assert abs(g.rand_index - (tot - b1 - b2 + 2 * a) / tot) < tol
+    assert abs(g.adjusted_rand - (a - exp_a) / ((b1 + b2) / 2 - exp_a)) < tol
+    assert abs(g.fowlkes_mallows - a / (b1 * b2) ** 0.5) < tol
+    assert abs(g.jaccard_index - a / (b1 + b2 - a)) < tol
+    # the pipeline is pairwise-exact on the fixture (F1 = 1.0), so every
+    # pair-counting index must sit at its optimum — a regression here
+    # means the clustering drifted from gold
+    for v in (g.rand_index, g.adjusted_rand, g.fowlkes_mallows, g.jaccard_index):
+        assert abs(v - 1.0) < tol
+
+
+def test_bipartite_link_matches_python_replay(spark):
+    rows = er_queries._scored(spark, SF_DIR).select(
+        "left_id", "right_id", "match_p"
+    ).collect()
+    is_a = lambda fid: fid[63] in set("02468ace")  # noqa: E731
+    cross = []
+    for r in rows:
+        if is_a(r.left_id) != is_a(r.right_id):
+            a, b = (
+                (r.left_id, r.right_id)
+                if is_a(r.left_id)
+                else (r.right_id, r.left_id)
+            )
+            cross.append((a, b, float(r.match_p)))
+    assert cross, "fixture must yield cross-source pairs"
+    best_a: dict[str, tuple[float, str]] = {}
+    best_b: dict[str, tuple[float, str]] = {}
+    for a, b, p in cross:
+        if a not in best_a or (-p, b) < (-best_a[a][0], best_a[a][1]):
+            best_a[a] = (p, b)
+        if b not in best_b or (-p, a) < (-best_b[b][0], best_b[b][1]):
+            best_b[b] = (p, a)
+
+    got = er_queries.q_er_bipartite_link(spark, SF_DIR).collect()
+    assert len(got) == len(best_a)
+    from blink_spark import scoring
+
+    for g in got:
+        p, b = best_a[g.a_id]
+        assert g.b_id == b
+        assert abs(g.match_p - p) < 2e-6
+        assert g.is_match == (p >= scoring.MATCH_TAU)
+        assert g.mutual_best == (best_b[b][1] == g.a_id)
+    # sources are disjoint by construction and mutual-best rows form a
+    # matching on the B side (each B record claimed at most once)
+    assert all(is_a(g.a_id) and not is_a(g.b_id) for g in got)
+    claimed = [g.b_id for g in got if g.mutual_best]
+    assert len(claimed) == len(set(claimed))
+    assert claimed, "fixture must yield at least one mutual-best link"
