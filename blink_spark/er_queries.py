@@ -1036,6 +1036,63 @@ def q_er_triangles(spark, sf_dir):
     )
 
 
+def q_er_model_disagreement(spark, sf_dir):
+    """Model-disagreement review queue: the candidate pairs where the
+    UNSUPERVISED Fellegi–Sunter decision (posterior ≥ 0.5 under the
+    EM-fitted mixture) and the supervised calibrated logistic
+    (match_p ≥ τ) disagree — committee-disagreement sampling, the
+    highest-value human-labeling targets in active-learning linkage
+    loops.  ``er_fs_posteriors`` aggregates this agreement per pattern;
+    this emits the actual pairs with both scores so a reviewer can act
+    (the confidence-band queue ``er_review_queue`` flags ONE model's
+    uncertainty; this flags two models' conflict).
+
+    Plan (100 TB): the fitted mixture is O(2^F) numbers computed from
+    the same census collapse as ``er_fs_em``; posteriors attach to pairs
+    via ONE broadcast join on the agreement pattern; the queue itself is
+    a filter over the persisted scored table — no new shuffle of pair
+    payloads."""
+    nf = len(FS_FEATURES)
+    census = _fs_census_rows(spark, sf_dir)
+    patterns = [
+        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
+        for r in census
+    ]
+    lam, m, u = _fs_em_params(patterns)
+    post_rows = [
+        tuple(list(a) + [_fs_posterior(list(a), lam, m, u)])
+        for a, _ in patterns
+    ]
+    schema = (
+        ", ".join(f"a{i} boolean" for i in range(nf)) + ", fs_posterior double"
+    )
+    post = spark.createDataFrame(post_rows, schema)
+    s = _scored(spark, sf_dir).select(
+        "left_id",
+        "right_id",
+        "match_p",
+        *[
+            (F.col(c) >= F.lit(t)).alias(f"a{i}")
+            for i, (c, t) in enumerate(FS_FEATURES)
+        ],
+    )
+    joined = s.join(F.broadcast(post), [f"a{i}" for i in range(nf)])
+    lg = F.col("match_p") >= F.lit(scoring.MATCH_TAU)
+    fsm = F.col("fs_posterior") >= F.lit(0.5)
+    return joined.filter(lg != fsm).select(
+        "left_id",
+        "right_id",
+        *[
+            F.col(f"a{i}").alias(f"agree_{c}")
+            for i, (c, _) in enumerate(FS_FEATURES)
+        ],
+        _r6("match_p", 6).alias("match_p"),
+        _r6("fs_posterior", 6).alias("fs_posterior"),
+        lg.alias("logistic_match"),
+        fsm.alias("fs_match"),
+    )
+
+
 def q_er_rand_index(spark, sf_dir):
     """Pair-counting external cluster-quality indices vs gold: Rand,
     Adjusted Rand (Hubert–Arabie), Fowlkes–Mallows, and pairwise Jaccard
@@ -2306,6 +2363,42 @@ LEFT JOIN tric USING (cluster_id)
 WHERE s.n_members >= 2"""
 
 
+def _model_disagreement_sql() -> str:
+    """DuckDB mirror of q_er_model_disagreement: the shared EM chain,
+    then per-pair posteriors with the same left-to-right product order,
+    filtered to the decision conflicts."""
+    nf = len(FS_FEATURES)
+    agr = ", ".join(
+        f"({c} >= {t!r}) AS a{i}" for i, (c, t) in enumerate(FS_FEATURES)
+    )
+    pm = " * ".join(
+        f"(CASE WHEN a{i} THEN m{i} ELSE 1.0 - m{i} END)" for i in range(nf)
+    )
+    pu = " * ".join(
+        f"(CASE WHEN a{i} THEN u{i} ELSE 1.0 - u{i} END)" for i in range(nf)
+    )
+    acols = ", ".join(
+        f"a{i} AS agree_{c}" for i, (c, _) in enumerate(FS_FEATURES)
+    )
+    return _fs_em_chain() + f""",
+dis0 AS (
+  SELECT left_id, right_id, match_p, {agr},
+         match_p >= {scoring.MATCH_TAU!r} AS lg
+  FROM scored_p
+),
+dis1 AS (
+  SELECT d.*, lam * {pm} AS pm, (1.0 - lam) * {pu} AS pu
+  FROM dis0 d CROSS JOIN fs_p{FS_ITERS}
+),
+dis AS (SELECT *, pm / (pm + pu) AS fs_post FROM dis1)
+SELECT left_id, right_id, {acols},
+       round(match_p, 6) + 0.0 AS match_p,
+       round(fs_post, 6) + 0.0 AS fs_posterior,
+       lg AS logistic_match,
+       fs_post >= 0.5 AS fs_match
+FROM dis WHERE (fs_post >= 0.5) <> lg"""
+
+
 _RAND_INDEX_SQL = """
 , lblr AS (
   SELECT c.cluster_id, i.gold_cluster
@@ -2692,6 +2785,7 @@ WHERE s.n >= 2""",
         "er_triangles": c + _TRIANGLES_SQL,
         "er_rand_index": c + _RAND_INDEX_SQL,
         "er_bipartite_link": c + _bipartite_link_sql(),
+        "er_model_disagreement": c + _model_disagreement_sql(),
     }
 
 
@@ -2736,4 +2830,5 @@ QUERIES = {
     "er_triangles": q_er_triangles,
     "er_rand_index": q_er_rand_index,
     "er_bipartite_link": q_er_bipartite_link,
+    "er_model_disagreement": q_er_model_disagreement,
 }

@@ -271,3 +271,35 @@ def test_one_to_one_matches_python_replay_and_greedy(spark):
             taken.add(l)
             taken.add(r)
     assert set(got) <= greedy
+
+
+def test_model_disagreement_consistent_with_posterior_table(spark):
+    """The pair-level disagreement queue must reconcile exactly with the
+    pattern-level agreement table: per pattern, the number of emitted
+    pairs equals n_pairs - n_logistic_match when FS says match, and
+    n_logistic_match when FS says non-match; every emitted row carries
+    the pattern's posterior and a genuine decision conflict."""
+    pats = {
+        tuple(bool(r[f"agree_{c}"]) for c, _ in er_queries.FS_FEATURES): r
+        for r in er_queries.q_er_fs_posteriors(spark, SF_DIR).collect()
+    }
+    got = er_queries.q_er_model_disagreement(spark, SF_DIR).collect()
+    per_pattern: dict[tuple, int] = {}
+    for r in got:
+        a = tuple(bool(r[f"agree_{c}"]) for c, _ in er_queries.FS_FEATURES)
+        per_pattern[a] = per_pattern.get(a, 0) + 1
+        p = pats[a]
+        assert abs(r.fs_posterior - p.fs_posterior) < 2e-6
+        assert r.fs_match == p.fs_match
+        assert r.logistic_match != r.fs_match
+        assert r.logistic_match == (
+            float(r.match_p) >= scoring.MATCH_TAU - 1e-9
+        )
+    for a, p in pats.items():
+        expected = (
+            p.n_pairs - p.n_logistic_match if p.fs_match else p.n_logistic_match
+        )
+        assert per_pattern.get(a, 0) == expected, a
+    # no duplicate pairs in the queue
+    keys = [(r.left_id, r.right_id) for r in got]
+    assert len(keys) == len(set(keys))
