@@ -41,6 +41,45 @@ def composite_key_col() -> F.Column:
     return F.concat_ws(":", F.lit("ck"), F.col("lang"), F.col("path_stem"))
 
 
+# Soundex-style digit map for a-z: vowels/h/w/y → 0 (dropped), consonant
+# classes → 1-6 (b f p v → 1, c g j k q s x z → 2, d t → 3, l → 4,
+# m n → 5, r → 6). The classic American-Soundex H/W "transparent
+# separator" nuance is deliberately omitted so the key is a short chain
+# of translate/regexp_replace steps WITHOUT regex backreferences —
+# identical semantics under Java regex (Spark) and RE2 (DuckDB), which
+# has no backreference support.
+_SOUNDEX_MAP = ("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202")
+
+
+def phonetic_key_col(col: F.Column) -> F.Column:
+    """Soundex-style 4-char phonetic key (first letter + 3 consonant
+    codes, zero-padded) of a string column — the phonetic blocker family
+    (names that sound alike block together despite spelling variance)."""
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    code = F.translate(s, *_SOUNDEX_MAP)
+    for d in "0123456":
+        code = F.regexp_replace(code, d + "{2,}", d)
+    rest = F.regexp_replace(F.substring(code, 2, 1000), "0", "")
+    return F.when(
+        F.length(s) > 0,
+        F.concat(F.upper(F.substring(s, 1, 1)), F.rpad(F.substring(rest, 1, 3), 3, "0")),
+    ).otherwise(F.lit(""))
+
+
+def sql_phonetic_key(expr: str) -> str:
+    """DuckDB mirror of :func:`phonetic_key_col` — the same
+    translate/replace chain, no backreferences."""
+    s = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    code = f"translate({s}, '{_SOUNDEX_MAP[0]}', '{_SOUNDEX_MAP[1]}')"
+    for d in "0123456":
+        code = f"regexp_replace({code}, '{d}{{2,}}', '{d}', 'g')"
+    rest = f"regexp_replace(substr({code}, 2, 1000), '0', '', 'g')"
+    return (
+        f"CASE WHEN len({s}) > 0 THEN upper(substr({s}, 1, 1)) ||"
+        f" rpad(substr({rest}, 1, 3), 3, '0') ELSE '' END"
+    )
+
+
 def with_lsh_columns(ingested: DataFrame) -> DataFrame:
     """Adds minhash signature + band-key array (JVM-side, no shuffle)."""
     hashes = minhash.shingle_hashes_col(F.col("shingles"))

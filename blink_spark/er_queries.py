@@ -1093,6 +1093,50 @@ def q_er_model_disagreement(spark, sf_dir):
     )
 
 
+def q_er_phonetic_block(spark, sf_dir):
+    """Phonetic-key blocking — the fifth blocker family (after composite
+    key, MinHash-LSH bands, sorted neighborhood, and meta-blocking):
+    records whose ``path_stem`` SOUNDS alike block together despite
+    spelling variance ("parseargs" / "parse_args" / "parsargs" share a
+    key), the classic name-matching blocker of census-era record linkage
+    (Soundex-style: first letter + 3 consonant-class codes).  Emits the
+    candidate pairs the phonetic blocker generates with their gold
+    verdict, so its precision/recall can be read next to
+    ``er_blocking_rules``.
+
+    Plan (100 TB): the key is a pure column-expression chain (translate
+    + regexp_replace, no UDF, identical under Java regex and RE2 — no
+    backreferences); pair generation reuses the capped/salted
+    ``blocking.candidate_pairs`` machinery, so phonetic collisions on
+    ubiquitous stems cannot blow up the join."""
+    reps = blocking.representatives(_with_sig(spark, sf_dir))
+    memb = reps.select(
+        "file_id",
+        F.concat(
+            F.lit("px:"), blocking.phonetic_key_col(F.col("path_stem"))
+        ).alias("block_key"),
+    ).filter(F.length("block_key") > 3)
+    pairs = blocking.candidate_pairs(memb)
+    gold = _rep_gold(spark, sf_dir)
+    gl = gold.select(
+        F.col("file_id").alias("left_id"), F.col("gold_cluster").alias("g_l")
+    )
+    gr = gold.select(
+        F.col("file_id").alias("right_id"), F.col("gold_cluster").alias("g_r")
+    )
+    return (
+        pairs.select("left_id", "right_id", "block_key")
+        .join(gl, "left_id")
+        .join(gr, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "block_key",
+            (F.col("g_l") == F.col("g_r")).alias("is_gold"),
+        )
+    )
+
+
 def q_er_rand_index(spark, sf_dir):
     """Pair-counting external cluster-quality indices vs gold: Rand,
     Adjusted Rand (Hubert–Arabie), Fowlkes–Mallows, and pairwise Jaccard
@@ -2399,6 +2443,28 @@ SELECT left_id, right_id, {acols},
 FROM dis WHERE (fs_post >= 0.5) <> lg"""
 
 
+def _phonetic_block_sql() -> str:
+    key = blocking.sql_phonetic_key("path_stem")
+    return f"""
+, pmemb AS (
+  SELECT file_id, block_key FROM (
+    SELECT file_id, 'px:' || {key} AS block_key FROM reps
+  ) WHERE len(block_key) > 3
+),
+ppairs AS (
+  SELECT l.file_id AS left_id, r.file_id AS right_id,
+         min(l.block_key) AS block_key
+  FROM pmemb l JOIN pmemb r
+    ON l.block_key = r.block_key AND l.file_id < r.file_id
+  GROUP BY 1, 2
+)
+SELECT p.left_id, p.right_id, p.block_key,
+       gl.gold_cluster = gr.gold_cluster AS is_gold
+FROM ppairs p
+JOIN reps gl ON p.left_id = gl.file_id
+JOIN reps gr ON p.right_id = gr.file_id"""
+
+
 _RAND_INDEX_SQL = """
 , lblr AS (
   SELECT c.cluster_id, i.gold_cluster
@@ -2786,6 +2852,7 @@ WHERE s.n >= 2""",
         "er_rand_index": c + _RAND_INDEX_SQL,
         "er_bipartite_link": c + _bipartite_link_sql(),
         "er_model_disagreement": c + _model_disagreement_sql(),
+        "er_phonetic_block": c + _phonetic_block_sql(),
     }
 
 
@@ -2831,4 +2898,5 @@ QUERIES = {
     "er_rand_index": q_er_rand_index,
     "er_bipartite_link": q_er_bipartite_link,
     "er_model_disagreement": q_er_model_disagreement,
+    "er_phonetic_block": q_er_phonetic_block,
 }

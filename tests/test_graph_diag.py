@@ -312,3 +312,62 @@ def test_bipartite_link_matches_python_replay(spark):
     claimed = [g.b_id for g in got if g.mutual_best]
     assert len(claimed) == len(set(claimed))
     assert claimed, "fixture must yield at least one mutual-best link"
+
+
+def _py_phonetic_key(s: str) -> str:
+    """Plain-Python replay of blocking.phonetic_key_col's documented spec
+    (Soundex-style, H/W transparency deliberately omitted)."""
+    s = "".join(ch for ch in s.lower() if "a" <= ch <= "z")
+    if not s:
+        return ""
+    table = dict(zip("abcdefghijklmnopqrstuvwxyz", "01230120022455012623010202"))
+    code = "".join(table[ch] for ch in s)
+    collapsed = []
+    for ch in code:
+        if not collapsed or collapsed[-1] != ch:
+            collapsed.append(ch)
+    rest = "".join(c for c in collapsed[1:] if c != "0")
+    return s[0].upper() + (rest[:3] + "000")[:3]
+
+
+def test_phonetic_block_matches_python_replay(spark):
+    reps = blocking.representatives(
+        er_queries._with_sig(spark, SF_DIR)
+    ).select("file_id", "path_stem", "gold_cluster").collect()
+    # classic soundex sanity anchors for the key function itself
+    assert _py_phonetic_key("Robert") == "R163"
+    assert _py_phonetic_key("Rupert") == "R163"
+    assert _py_phonetic_key("parse_args") == "P626"
+    assert _py_phonetic_key("parseargs") == "P626"
+    assert _py_phonetic_key("parsargs") == "P626"
+    assert _py_phonetic_key("") == ""
+
+    blocks: dict[str, list[str]] = {}
+    gold = {}
+    for r in reps:
+        gold[r.file_id] = r.gold_cluster
+        k = _py_phonetic_key(r.path_stem)
+        if k:
+            blocks.setdefault("px:" + k, []).append(r.file_id)
+    expected = {}
+    for key, members in blocks.items():
+        for a, b in combinations(sorted(members), 2):
+            expected[(a, b)] = (key, gold[a] == gold[b])
+
+    got = er_queries.q_er_phonetic_block(spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        key, is_gold = expected[(r.left_id, r.right_id)]
+        assert r.block_key == key
+        assert r.is_gold == is_gold
+    # the phonetic blocker must find sound-alike gold pairs; on this
+    # corpus at least one pair it finds is NOT in the production
+    # candidate set (it generalizes across langs), and vice versa
+    prod = {
+        (r.left_id, r.right_id)
+        for r in er_queries._pairs(spark, SF_DIR)
+        .select("left_id", "right_id")
+        .collect()
+    }
+    assert any(p not in prod for p in expected)
+    assert any(v[1] for v in expected.values())
