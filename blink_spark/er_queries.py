@@ -1137,6 +1137,92 @@ def q_er_phonetic_block(spark, sf_dir):
     )
 
 
+CLK_M = 256  # Bloom-filter width (bit positions)
+CLK_K = 4    # hash functions per bigram (Kirsch–Mitzenmacher double hashing)
+
+
+def q_er_clk_linkage(spark, sf_dir):
+    """Privacy-preserving record linkage (Schnell/Bachteler/Reiher
+    cryptographic long-term keys): each record's ``path_stem`` is encoded
+    as the SET-BIT positions of a Bloom filter over its padded character
+    bigrams — ``CLK_K`` positions per bigram by double-hashing the
+    engine-agnostic 60-bit md5 base hash — and candidate pairs are scored
+    by Dice similarity over the ENCODINGS alone, never the plaintext.
+    Emits the encoded Dice next to the plaintext bigram Dice and the gold
+    verdict, so the privacy-utility gap of the encoding is measured on
+    the same pairs (the linkage mode used when two parties cannot share
+    raw identifiers; the reference always links plaintext).
+
+    Plan (100 TB): the encoding is a pure JVM column chain on the record
+    table (md5 + integer arithmetic inside ``transform`` — no UDF, no
+    shuffle); pair scoring is array intersection over two ~M-bit sorted
+    sets fetched by the same id-keyed joins as every scored stage; pairs
+    come from the persisted candidate stage, so nothing new is
+    generated."""
+    h = "CAST(conv(substring(md5(b), 1, 15), 16, 10) AS BIGINT)"
+    reps = blocking.representatives(_with_sig(spark, sf_dir)).select(
+        "file_id", "path_stem", "gold_cluster"
+    )
+    enc = (
+        reps.withColumn(
+            "_pad", F.concat(F.lit("_"), F.lower(F.col("path_stem")), F.lit("_"))
+        )
+        .withColumn(
+            "_bi",
+            F.expr(
+                "transform(sequence(1, length(_pad) - 1),"
+                " i -> substring(_pad, i, 2))"
+            ),
+        )
+        .withColumn(
+            "clk",
+            F.expr(
+                "array_sort(array_distinct(flatten(transform(_bi, b -> "
+                f"transform(sequence(0, {CLK_K - 1}), i -> "
+                f"CAST(({h} div 1073741824 + i * ({h} % 1073741824))"
+                f" % {CLK_M} AS INT))))))"
+            ),
+        )
+        .select(
+            "file_id",
+            "gold_cluster",
+            F.array_distinct("_bi").alias("bid"),
+            "clk",
+        )
+    )
+    p = _pairs(spark, sf_dir).select("left_id", "right_id")
+    le = enc.select(
+        F.col("file_id").alias("left_id"),
+        F.col("gold_cluster").alias("g_l"),
+        F.col("bid").alias("l_bid"),
+        F.col("clk").alias("l_clk"),
+    )
+    re_ = enc.select(
+        F.col("file_id").alias("right_id"),
+        F.col("gold_cluster").alias("g_r"),
+        F.col("bid").alias("r_bid"),
+        F.col("clk").alias("r_clk"),
+    )
+    j = p.join(le, "left_id").join(re_, "right_id")
+    clk_dice = (
+        F.lit(2.0)
+        * F.size(F.array_intersect("l_clk", "r_clk"))
+        / (F.size("l_clk") + F.size("r_clk"))
+    )
+    stem_dice = (
+        F.lit(2.0)
+        * F.size(F.array_intersect("l_bid", "r_bid"))
+        / (F.size("l_bid") + F.size("r_bid"))
+    )
+    return j.select(
+        "left_id",
+        "right_id",
+        _r6(clk_dice, 6).alias("clk_dice"),
+        _r6(stem_dice, 6).alias("stem_dice"),
+        (F.col("g_l") == F.col("g_r")).alias("is_gold"),
+    )
+
+
 def q_er_rand_index(spark, sf_dir):
     """Pair-counting external cluster-quality indices vs gold: Rand,
     Adjusted Rand (Hubert–Arabie), Fowlkes–Mallows, and pairwise Jaccard
@@ -2443,6 +2529,39 @@ SELECT left_id, right_id, {acols},
 FROM dis WHERE (fs_post >= 0.5) <> lg"""
 
 
+def _clk_linkage_sql() -> str:
+    hb = minhash.sql_base_hash("b")
+    return f"""
+, clk0 AS (
+  SELECT file_id, gold_cluster,
+         list_transform(range(1, length(pad)),
+                        i -> pad[CAST(i AS INTEGER):CAST(i AS INTEGER) + 1])
+           AS bi
+  FROM (
+    SELECT file_id, gold_cluster,
+           '_' || lower(path_stem) || '_' AS pad
+    FROM reps
+  )
+),
+clk_enc AS (
+  SELECT file_id, gold_cluster, list_distinct(bi) AS bid,
+         list_sort(list_distinct(flatten(list_transform(bi, b ->
+           list_transform(range(0, {CLK_K}), i ->
+             CAST((({hb} // 1073741824) + i * ({hb} % 1073741824))
+                  % {CLK_M} AS INTEGER)))))) AS clk
+  FROM clk0
+)
+SELECT p.left_id, p.right_id,
+       round(2.0 * len(list_intersect(l.clk, r.clk))
+             / (len(l.clk) + len(r.clk)), 6) + 0.0 AS clk_dice,
+       round(2.0 * len(list_intersect(l.bid, r.bid))
+             / (len(l.bid) + len(r.bid)), 6) + 0.0 AS stem_dice,
+       l.gold_cluster = r.gold_cluster AS is_gold
+FROM pairs p
+JOIN clk_enc l ON p.left_id = l.file_id
+JOIN clk_enc r ON p.right_id = r.file_id"""
+
+
 def _phonetic_block_sql() -> str:
     key = blocking.sql_phonetic_key("path_stem")
     return f"""
@@ -2853,6 +2972,7 @@ WHERE s.n >= 2""",
         "er_bipartite_link": c + _bipartite_link_sql(),
         "er_model_disagreement": c + _model_disagreement_sql(),
         "er_phonetic_block": c + _phonetic_block_sql(),
+        "er_clk_linkage": c + _clk_linkage_sql(),
     }
 
 
@@ -2899,4 +3019,5 @@ QUERIES = {
     "er_bipartite_link": q_er_bipartite_link,
     "er_model_disagreement": q_er_model_disagreement,
     "er_phonetic_block": q_er_phonetic_block,
+    "er_clk_linkage": q_er_clk_linkage,
 }
