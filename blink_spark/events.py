@@ -559,6 +559,65 @@ def q_evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_latest_view(load_events(spark, sf_dir))
 
 
+ANOM_WINDOW = 24  # trailing hourly buckets in the baseline
+ANOM_MIN_HIST = 12  # minimum baseline buckets before a verdict
+ANOM_Z = 3.0
+
+
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection over the hourly rollup: per event type,
+    each hour's count is z-scored against that type's TRAILING 24-bucket
+    baseline (current hour excluded — the baseline must not contain the
+    value it judges) and flagged when |z| ≥ 3 — the monitoring primitive
+    a telemetry pipeline runs on every rollup it publishes.  Hours with
+    fewer than ``ANOM_MIN_HIST`` baseline buckets emit no verdict (cold
+    start discipline).
+
+    Plan (100 TB): the corpus collapses to the hourly census first (one
+    combinable shuffle, same as ``evt_windowed_rollup``), so the window
+    scan runs over buckets — hours × types, not events; one window
+    shuffle on low-cardinality event_type with an O(1)-row frame.  A
+    constant-volume baseline (stddev 0) z-scores to 0, never NaN."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            ts_us_col("w.start").alias("bucket_us"), "event_type", "n_events"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    v = F.col("n_events").cast("double")
+    hist = hourly.select(
+        "bucket_us",
+        "event_type",
+        "n_events",
+        F.count("n_events").over(w).cast("long").alias("hist_n"),
+        F.avg(v).over(w).alias("_mean"),
+        F.stddev_samp(v).over(w).alias("_std"),
+    )
+    z = F.when(
+        F.col("_std") > 0, (F.col("n_events") - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(0.0))
+    return (
+        hist.filter(F.col("hist_n") >= ANOM_MIN_HIST)
+        .select(
+            "bucket_us",
+            "event_type",
+            "n_events",
+            "hist_n",
+            _r6(F.col("_mean")).alias("hist_mean"),
+            _r6(F.col("_std")).alias("hist_std"),
+            _r6(z).alias("zscore"),
+            (F.abs(z) >= F.lit(ANOM_Z)).alias("is_anomaly"),
+        )
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 
@@ -987,6 +1046,7 @@ QUERIES = {
     "evt_sessionize": q_evt_sessionize,
     "evt_asof_join": q_evt_asof_join,
     "evt_value_quantiles": q_evt_value_quantiles,
+    "evt_anomaly": q_evt_anomaly,
     "evt_stream_windowed": q_evt_stream_windowed,
     "evt_stream_sessionize": q_evt_stream_sessionize,
     "evt_sketch_accuracy": q_evt_sketch_accuracy,
@@ -1006,6 +1066,33 @@ def oracle_sqls() -> dict[str, str]:
         f"round(quantile_cont(value, {p}), 6) + 0.0 AS p{int(p * 100)}"
         for p in QUANTILE_PS
     )
+    sql["evt_anomaly"] = f"""
+WITH hourly AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT bucket_us, event_type, n_events,
+         count(n_events) OVER wtrail AS hist_n,
+         avg(CAST(n_events AS DOUBLE)) OVER wtrail AS hist_mean,
+         stddev_samp(CAST(n_events AS DOUBLE)) OVER wtrail AS hist_std
+  FROM hourly
+  WINDOW wtrail AS (PARTITION BY event_type ORDER BY bucket_us
+                    ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT bucket_us, event_type, n_events, hist_n::BIGINT AS hist_n,
+       round(hist_mean, 6) + 0.0 AS hist_mean,
+       round(hist_std, 6) + 0.0 AS hist_std,
+       round(z, 6) + 0.0 AS zscore,
+       abs(z) >= {ANOM_Z!r} AS is_anomaly
+FROM (
+  SELECT *, CASE WHEN hist_std > 0 THEN (n_events - hist_mean) / hist_std
+                 ELSE 0.0 END AS z
+  FROM win
+)
+WHERE hist_n >= {ANOM_MIN_HIST}"""
+
     sql["evt_value_quantiles"] = f"""
 SELECT event_type,
        count(*) AS n_events,

@@ -448,3 +448,43 @@ def test_rolling_window_frame_bounds_inclusive(spark):
     assert out[3] == (2, 11.0)
     assert out[1] == (1, 100.0)
     assert out[4] == (1, 5.0)
+
+
+def test_anomaly_matches_pandas_replay(spark):
+    """evt_anomaly must equal a pandas replay of the trailing z-score over
+    the hourly census (independent window implementation), and the flag
+    discipline must hold: cold-start rows absent, hist_n bounded by the
+    window, anomaly <=> |z| >= ANOM_Z on the unrounded score."""
+    pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    hourly = (
+        pdf.groupby(["event_type", "bucket"], as_index=False)
+        .agg(n_events=("event_id", "size"))
+        .sort_values(["event_type", "bucket"])
+    )
+    expected = {}
+    for et, g in hourly.groupby("event_type"):
+        counts = g["n_events"].tolist()
+        buckets = g["bucket"].tolist()
+        for i in range(len(counts)):
+            hist = counts[max(0, i - events.ANOM_WINDOW): i]
+            if len(hist) < events.ANOM_MIN_HIST:
+                continue
+            mean = sum(hist) / len(hist)
+            var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
+            std = var ** 0.5
+            z = (counts[i] - mean) / std if std > 0 else 0.0
+            us = int(buckets[i].value // 1000)
+            expected[(et, us)] = (counts[i], len(hist), mean, std, z)
+
+    got = events.q_evt_anomaly(spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n, hn, mean, std, z = expected[(r.event_type, r.bucket_us)]
+        assert r.n_events == n
+        assert r.hist_n == hn
+        assert hn <= events.ANOM_WINDOW
+        assert abs(r.hist_mean - mean) < 2e-6
+        assert abs(r.hist_std - std) < 2e-6
+        assert abs(r.zscore - z) < 2e-6
+        assert r.is_anomaly == (abs(z) >= events.ANOM_Z)
