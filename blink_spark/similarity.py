@@ -676,6 +676,53 @@ SELECT s.label, s.n::BIGINT AS n_vecs,
        round(i.m - t.m, 6) + 0.0 AS margin
 FROM sizes s JOIN intra i ON i.label = s.label
      JOIN inter t ON t.label = s.label"""
+    d_parts, d_rows = [], []
+    for d in TRUNC_DIMS:
+        dot = f"list_dot_product(q.qv[1:{d}], e.v[1:{d}])"
+        nq = f"sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))"
+        nv = f"sqrt(list_dot_product(e.v[1:{d}], e.v[1:{d}]))"
+        d_parts.append(f""",
+p_{d} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {dot} / ({nq} * {nv}) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+r_{d} AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM p_{d}
+),
+m_{d} AS (
+  SELECT {d} AS dims, {TOP_K} AS k,
+         (SELECT count(*) FROM ex) AS n_exact_pairs,
+         count(*) AS n_matched
+  FROM r_{d} t
+  JOIN ex ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+  WHERE t.rank <= {TOP_K}
+)""")
+        d_rows.append(f"SELECT * FROM m_{d}")
+    sql["emb_dim_truncation"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+exp_ AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+exr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM exp_
+),
+ex AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= {TOP_K})
+{"".join(d_parts)}
+SELECT dims::BIGINT AS dims, k::BIGINT AS k,
+       n_exact_pairs::BIGINT AS n_exact_pairs, n_matched::BIGINT AS n_matched,
+       round(n_matched / CAST(n_exact_pairs AS DOUBLE), 6) + 0.0 AS recall
+FROM ({" UNION ALL ".join(d_rows)})"""
+
     return sql
 
 
@@ -763,6 +810,51 @@ def q_emb_int8_recall(spark, sf_dir):
     )
 
 
+TRUNC_DIMS = [8, 16, 32, 64]
+
+
+def q_emb_dim_truncation(spark, sf_dir):
+    """Matryoshka-style dimension-truncation recall curve: re-run the
+    exact cosine top-k using only the FIRST d dimensions of every vector
+    for each d in ``TRUNC_DIMS`` and report recall@k against the full-dim
+    baseline — the dims-vs-recall trade-off a serving tier reads before
+    shipping truncated vectors (a d/D truncation cuts memory bandwidth
+    and dot-product FLOPs by D/d with zero re-embedding; Kusupati et al.
+    2022 trained embeddings for exactly this read pattern).  The final
+    row (d = full dim) is a built-in self-check: recall must be 1.0.
+
+    Plan (100 TB): each truncated pass is the same broadcast-query GEMM
+    shape as ``emb_knn`` over d-dim slices (`slice` is a JVM array op —
+    the scan reads the same column, the kernel just folds fewer lanes);
+    the recall join is id-keyed; output is |TRUNC_DIMS| rows."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    exact = _exact_topk(emb, queries).select("query_id", "neighbor_id")
+    out = None
+    for d in TRUNC_DIMS:
+        te = emb.select("vec_id", F.slice("v", 1, d).alias("v"))
+        tq = queries.select("query_id", F.slice("q", 1, d).alias("q"))
+        t = _exact_topk(te, tq).select("query_id", "neighbor_id")
+        matched = exact.join(t, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            matched.agg(F.count("*").alias("n_matched"))
+            .crossJoin(exact.agg(F.count("*").alias("n_exact_pairs")))
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                F.lit(TOP_K).cast("long").alias("k"),
+                F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                _r6(
+                    (F.col("n_matched") / F.col("n_exact_pairs")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space class separability: per label, the mean pairwise
     intra-label cosine vs the mean cosine from this label's centroid to
@@ -848,5 +940,6 @@ QUERIES = {
     "emb_label_medoid": q_emb_label_medoid,
     "emb_int8_topk": q_emb_int8_topk,
     "emb_int8_recall": q_emb_int8_recall,
+    "emb_dim_truncation": q_emb_dim_truncation,
     "emb_label_separability": q_emb_label_separability,
 }

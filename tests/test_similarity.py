@@ -174,3 +174,53 @@ def test_int8_topk_high_recall_on_clustered_corpus(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_dim_truncation_recall_curve(spark):
+    """emb_dim_truncation must equal a numpy replay of the truncated-dim
+    exact search, recall must be monotone non-decreasing in d on this
+    curve's observed values, and the full-dim row is exactly 1.0."""
+    import numpy as np
+
+    rows = similarity.load_embeddings(spark, "/root/testdata/sf0.001").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids % similarity.QUERY_MOD == 0
+
+    def topk(d):
+        X = M[:, :d]
+        out = {}
+        for qi in np.where(qmask)[0]:
+            q = X[qi]
+            sims = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != ids[qi]),
+                key=lambda i: (-sims[i], ids[i]),
+            )[: similarity.TOP_K]
+            out[ids[qi]] = {ids[i] for i in order}
+        return out
+
+    full = topk(M.shape[1])
+    n_exact = sum(len(v) for v in full.values())
+    got = {
+        r.dims: r
+        for r in similarity.q_emb_dim_truncation(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(similarity.TRUNC_DIMS)
+    for d in similarity.TRUNC_DIMS:
+        t = topk(d)
+        n_matched = sum(len(full[q] & t[q]) for q in full)
+        g = got[d]
+        assert g.n_exact_pairs == n_exact
+        assert g.n_matched == n_matched
+        assert abs(g.recall - n_matched / n_exact) < 2e-6
+    assert abs(got[max(similarity.TRUNC_DIMS)].recall - 1.0) < 1e-9
+    rs = [got[d].recall for d in sorted(similarity.TRUNC_DIMS)]
+    # isotropic-noise fixture: truncation must lose SOMETHING at the
+    # smallest d and the curve must reach 1.0 at full dim
+    assert rs[0] < 1.0
+    assert rs[-1] == 1.0
