@@ -1272,6 +1272,74 @@ def q_er_rand_index(spark, sf_dir):
     )
 
 
+def q_er_nmi(spark, sf_dir):
+    """Information-theoretic external cluster quality vs gold: mutual
+    information, sqrt-normalized NMI, and the homogeneity/completeness/
+    V-measure triple (Rosenberg & Hirschberg 2007) — the third standard
+    evaluation family next to pair-counting (``er_rand_index``) and
+    record-averaged (``er_bcubed``); entropy weighting makes it
+    insensitive to the quadratic blow-up of one huge cluster that
+    dominates pair counts.
+
+    Plan (100 TB): everything derives from the (cluster, gold)
+    contingency cells and their marginals — three combinable aggregates
+    over the labeled record table, ONE output row."""
+    lbl = _clusters(spark, sf_dir).join(
+        _ingested(spark, sf_dir).select("file_id", "gold_cluster"), "file_id"
+    )
+    ent = lambda cnt, n: F.sum(  # noqa: E731
+        -(cnt / n) * F.log(cnt / n)
+    )
+    nrec = lbl.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n = F.col("n")
+    hp = (
+        lbl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(nrec))
+        .agg(ent(F.col("c"), n).alias("h_pred"))
+    )
+    hg = (
+        lbl.groupBy("gold_cluster")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(nrec))
+        .agg(ent(F.col("c"), n).alias("h_gold"))
+    )
+    hj = (
+        lbl.groupBy("cluster_id", "gold_cluster")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(nrec))
+        .agg(ent(F.col("c"), n).alias("h_joint"))
+    )
+    j = nrec.crossJoin(hp).crossJoin(hg).crossJoin(hj)
+    mi = F.col("h_pred") + F.col("h_gold") - F.col("h_joint")
+    hom = F.when(F.col("h_gold") > 0, mi / F.col("h_gold")).otherwise(
+        F.lit(1.0)
+    )
+    com = F.when(F.col("h_pred") > 0, mi / F.col("h_pred")).otherwise(
+        F.lit(1.0)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_records"),
+        _r6("h_pred", 6).alias("h_pred"),
+        _r6("h_gold", 6).alias("h_gold"),
+        _r6(mi, 6).alias("mutual_info"),
+        _r6(
+            F.when(
+                (F.col("h_pred") > 0) & (F.col("h_gold") > 0),
+                mi / F.sqrt(F.col("h_pred") * F.col("h_gold")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("nmi"),
+        _r6(hom, 6).alias("homogeneity"),
+        _r6(com, 6).alias("completeness"),
+        _r6(
+            F.when(hom + com > 0, F.lit(2.0) * hom * com / (hom + com))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("v_measure"),
+    )
+
+
 # side split for the clean-clean linkage demo: last hex nibble of the
 # content-free file_id — deterministic, uniform, engine-independent
 _EVEN_NIBBLES = ["0", "2", "4", "6", "8", "a", "c", "e"]
@@ -2620,6 +2688,53 @@ FROM (
 )"""
 
 
+_NMI_SQL = """
+, lbl_n AS (
+  SELECT c.cluster_id, i.gold_cluster
+  FROM clusters c JOIN ing i USING (file_id)
+),
+nmi_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lbl_n),
+nmi_hp AS (
+  SELECT sum(-(c / n) * ln(c / n)) AS h_pred
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM lbl_n GROUP BY cluster_id)
+  CROSS JOIN nmi_n
+),
+nmi_hg AS (
+  SELECT sum(-(c / n) * ln(c / n)) AS h_gold
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM lbl_n GROUP BY gold_cluster)
+  CROSS JOIN nmi_n
+),
+nmi_hj AS (
+  SELECT sum(-(c / n) * ln(c / n)) AS h_joint
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM lbl_n
+        GROUP BY cluster_id, gold_cluster)
+  CROSS JOIN nmi_n
+),
+nmi_base AS (
+  SELECT n, h_pred, h_gold, h_joint, h_pred + h_gold - h_joint AS mi
+  FROM nmi_n CROSS JOIN nmi_hp CROSS JOIN nmi_hg CROSS JOIN nmi_hj
+),
+nmi_hc AS (
+  SELECT *,
+         CASE WHEN h_gold > 0 THEN mi / h_gold ELSE 1.0 END AS hom,
+         CASE WHEN h_pred > 0 THEN mi / h_pred ELSE 1.0 END AS com
+  FROM nmi_base
+)
+SELECT CAST(n AS BIGINT) AS n_records,
+       round(h_pred, 6) + 0.0 AS h_pred,
+       round(h_gold, 6) + 0.0 AS h_gold,
+       round(mi, 6) + 0.0 AS mutual_info,
+       round(CASE WHEN h_pred > 0 AND h_gold > 0
+                  THEN mi / sqrt(h_pred * h_gold) ELSE 1.0 END, 6) + 0.0
+         AS nmi,
+       round(hom, 6) + 0.0 AS homogeneity,
+       round(com, 6) + 0.0 AS completeness,
+       round(CASE WHEN hom + com > 0
+                  THEN 2.0 * hom * com / (hom + com) ELSE 0.0 END, 6) + 0.0
+         AS v_measure
+FROM nmi_hc"""
+
+
 def _bipartite_link_sql() -> str:
     evens = ", ".join(f"'{x}'" for x in _EVEN_NIBBLES)
     side = lambda c: f"substr({c}, 64, 1) IN ({evens})"  # noqa: E731
@@ -2973,6 +3088,7 @@ WHERE s.n >= 2""",
         "er_model_disagreement": c + _model_disagreement_sql(),
         "er_phonetic_block": c + _phonetic_block_sql(),
         "er_clk_linkage": c + _clk_linkage_sql(),
+        "er_nmi": c + _NMI_SQL,
     }
 
 
@@ -3020,4 +3136,5 @@ QUERIES = {
     "er_model_disagreement": q_er_model_disagreement,
     "er_phonetic_block": q_er_phonetic_block,
     "er_clk_linkage": q_er_clk_linkage,
+    "er_nmi": q_er_nmi,
 }

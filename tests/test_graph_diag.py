@@ -422,3 +422,47 @@ def test_clk_linkage_matches_python_replay(spark):
     for r in got:
         if r.stem_dice == 1.0:
             assert r.clk_dice == 1.0
+
+
+def test_nmi_matches_python_recompute(spark):
+    import math
+
+    lbl = (
+        er_queries._clusters(spark, SF_DIR)
+        .join(
+            er_queries._ingested(spark, SF_DIR).select(
+                "file_id", "gold_cluster"
+            ),
+            "file_id",
+        )
+        .collect()
+    )
+    n = len(lbl)
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    cells: dict[tuple[str, str], int] = {}
+    for r in lbl:
+        rows[r.cluster_id] = rows.get(r.cluster_id, 0) + 1
+        cols[r.gold_cluster] = cols.get(r.gold_cluster, 0) + 1
+        cells[(r.cluster_id, r.gold_cluster)] = (
+            cells.get((r.cluster_id, r.gold_cluster), 0) + 1
+        )
+    ent = lambda cs: sum(-(c / n) * math.log(c / n) for c in cs)  # noqa: E731
+    hp, hg, hj = ent(rows.values()), ent(cols.values()), ent(cells.values())
+    mi = hp + hg - hj
+    g = er_queries.q_er_nmi(spark, SF_DIR).collect()[0]
+    tol = 2e-6
+    assert g.n_records == n
+    assert abs(g.h_pred - hp) < tol
+    assert abs(g.h_gold - hg) < tol
+    assert abs(g.mutual_info - mi) < tol
+    assert abs(g.nmi - mi / math.sqrt(hp * hg)) < tol
+    hom, com = mi / hg, mi / hp
+    assert abs(g.homogeneity - hom) < tol
+    assert abs(g.completeness - com) < tol
+    assert abs(g.v_measure - 2 * hom * com / (hom + com)) < tol
+    # the fixture clustering is exact, so every index must sit at 1.0
+    for v in (g.nmi, g.homogeneity, g.completeness, g.v_measure):
+        assert abs(v - 1.0) < tol
+    # and the two marginal entropies must coincide with the joint
+    assert abs(g.h_pred - g.h_gold) < tol
