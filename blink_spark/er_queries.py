@@ -1223,6 +1223,73 @@ def q_er_clk_linkage(spark, sf_dir):
     )
 
 
+def q_er_fs_waterfall(spark, sf_dir):
+    """Match-weight waterfall (the Splink explainability chart as data):
+    for every OBSERVED agreement pattern, one row per evidence term —
+    the λ prior plus each feature's log2 agreement/disagreement weight —
+    with the running cumulative log-odds and the pattern's final
+    posterior, so a reviewer can see exactly which comparisons pushed a
+    pair over (or under) the match line.  ``er_fs_em`` publishes the
+    weights; this composes them into the per-decision audit trail.
+
+    Plan (100 TB): pure driver-side composition over the O(2^F) fitted
+    mixture — ≤ 2^F × (F+1) rows at any data scale; the pair table is
+    never touched beyond the census collapse ``er_fs_em`` already does."""
+    nf = len(FS_FEATURES)
+    census = _fs_census_rows(spark, sf_dir)
+    patterns = [
+        (tuple(bool(r[f"a{i}"]) for i in range(nf)), float(r["n"]))
+        for r in census
+    ]
+    lam, m, u = _fs_em_params(patterns)
+    prior = math.log2(lam / (1.0 - lam))
+    rows = []
+    for a, n in patterns:
+        label = "".join("T" if x else "F" for x in a)
+        total = prior
+        # agree is a 3-state STRING ('T'/'F', '' for the prior term): a
+        # null boolean surfaces as None in Spark but float-NaN through
+        # DuckDB→pandas, and the driver canonicalizer encodes those
+        # differently — a nullable column here would hash-mismatch on
+        # representation alone
+        rows.append((label, int(n), 0, "prior", "", prior, prior))
+        for i, (name, _) in enumerate(FS_FEATURES):
+            w = (
+                math.log2(m[i] / u[i])
+                if a[i]
+                else math.log2((1.0 - m[i]) / (1.0 - u[i]))
+            )
+            total = total + w
+            rows.append(
+                (label, int(n), i + 1, name, "T" if a[i] else "F", w, total)
+            )
+    # posterior from the pattern's TOTAL log-odds (2^total odds) — the
+    # same log-space formula the SQL mirror uses, so the two engines
+    # share op order
+    out = []
+    totals = {r[0]: r[6] for r in rows if r[2] == nf}
+    for label, n, idx, term, agree, w, cum in rows:
+        odds = 2.0 ** totals[label]
+        out.append(
+            (label, n, idx, term, agree, w, cum, odds / (1.0 + odds))
+        )
+    return spark.createDataFrame(
+        out,
+        "pattern string, n_pairs long, term_index long, term string,"
+        " agree string, log2_weight double, cum_log_odds double,"
+        " fs_posterior double",
+    ).select(
+        "pattern",
+        "n_pairs",
+        "term_index",
+        "term",
+        "agree",
+        _r6("log2_weight", 6).alias("log2_weight"),
+        _r6("cum_log_odds", 6).alias("cum_log_odds"),
+        _r6("fs_posterior", 6).alias("fs_posterior"),
+    )
+
+
 def q_er_rand_index(spark, sf_dir):
     """Pair-counting external cluster-quality indices vs gold: Rand,
     Adjusted Rand (Hubert–Arabie), Fowlkes–Mallows, and pairwise Jaccard
@@ -2652,6 +2719,56 @@ JOIN reps gl ON p.left_id = gl.file_id
 JOIN reps gr ON p.right_id = gr.file_id"""
 
 
+def _fs_waterfall_sql() -> str:
+    """DuckDB mirror of q_er_fs_waterfall: the shared EM chain, then one
+    row per (observed pattern, evidence term) with left-associative
+    cumulative log-odds and the log-space posterior."""
+    nf = len(FS_FEATURES)
+    label = " || ".join(
+        f"(CASE WHEN a{i} THEN 'T' ELSE 'F' END)" for i in range(nf)
+    )
+    wexpr = [
+        f"(CASE WHEN a{i} THEN log2(m{i} / u{i})"
+        f" ELSE log2((1.0 - m{i}) / (1.0 - u{i})) END)"
+        for i in range(nf)
+    ]
+    sql = _fs_em_chain() + f""",
+wf0 AS (
+  SELECT {label} AS pattern, CAST(n AS BIGINT) AS n_pairs,
+         {", ".join(f"a{i}" for i in range(nf))},
+         log2(lam / (1.0 - lam)) AS w_prior,
+         {", ".join(f"{e} AS w{i}" for i, e in enumerate(wexpr))}
+  FROM fs_census CROSS JOIN fs_p{FS_ITERS}
+),
+wf AS (
+  SELECT *, {" + ".join(["w_prior"] + [f"w{i}" for i in range(nf)])} AS total
+  FROM wf0
+)"""
+    rows = [
+        """
+SELECT pattern, n_pairs, 0 AS term_index, 'prior' AS term,
+       '' AS agree, w_prior AS log2_weight,
+       w_prior AS cum_log_odds, total
+FROM wf"""
+    ]
+    for i, (name, _) in enumerate(FS_FEATURES):
+        cum = " + ".join(["w_prior"] + [f"w{j}" for j in range(i + 1)])
+        rows.append(f"""
+SELECT pattern, n_pairs, {i + 1} AS term_index, '{name}' AS term,
+       CASE WHEN a{i} THEN 'T' ELSE 'F' END AS agree,
+       w{i} AS log2_weight, {cum} AS cum_log_odds, total
+FROM wf""")
+    union = "\nUNION ALL\n".join(rows)
+    return sql + f"""
+SELECT pattern, n_pairs, CAST(term_index AS BIGINT) AS term_index, term,
+       agree,
+       round(log2_weight, 6) + 0.0 AS log2_weight,
+       round(cum_log_odds, 6) + 0.0 AS cum_log_odds,
+       round(pow(2.0, total) / (1.0 + pow(2.0, total)), 6) + 0.0
+         AS fs_posterior
+FROM ({union})"""
+
+
 _RAND_INDEX_SQL = """
 , lblr AS (
   SELECT c.cluster_id, i.gold_cluster
@@ -3089,6 +3206,7 @@ WHERE s.n >= 2""",
         "er_phonetic_block": c + _phonetic_block_sql(),
         "er_clk_linkage": c + _clk_linkage_sql(),
         "er_nmi": c + _NMI_SQL,
+        "er_fs_waterfall": c + _fs_waterfall_sql(),
     }
 
 
@@ -3137,4 +3255,5 @@ QUERIES = {
     "er_phonetic_block": q_er_phonetic_block,
     "er_clk_linkage": q_er_clk_linkage,
     "er_nmi": q_er_nmi,
+    "er_fs_waterfall": q_er_fs_waterfall,
 }

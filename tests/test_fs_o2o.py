@@ -303,3 +303,48 @@ def test_model_disagreement_consistent_with_posterior_table(spark):
     # no duplicate pairs in the queue
     keys = [(r.left_id, r.right_id) for r in got]
     assert len(keys) == len(set(keys))
+
+
+def test_fs_waterfall_reconciles_with_em_and_posteriors(spark):
+    """Every waterfall row must decompose consistently: feature terms
+    carry exactly er_fs_em's w_agree/w_disagree per the agree flag, the
+    running cum is the left-fold of prior + weights, and 2^total odds
+    reproduce er_fs_posteriors' pattern posterior."""
+    import math
+
+    em = {r.feature: r for r in er_queries.q_er_fs_em(spark, SF_DIR).collect()}
+    lam = next(iter(em.values())).lam
+    posts = {
+        "".join(
+            "T" if r[f"agree_{c}"] else "F" for c, _ in er_queries.FS_FEATURES
+        ): r
+        for r in er_queries.q_er_fs_posteriors(spark, SF_DIR).collect()
+    }
+    wf = er_queries.q_er_fs_waterfall(spark, SF_DIR).collect()
+    by_pat: dict[str, list] = {}
+    for r in wf:
+        by_pat.setdefault(r.pattern, []).append(r)
+    assert set(by_pat) == set(posts)
+    tol = 5e-6  # both sides rounded to 6dp
+    for pat, rows in by_pat.items():
+        rows.sort(key=lambda r: r.term_index)
+        assert [r.term for r in rows] == ["prior"] + [
+            c for c, _ in er_queries.FS_FEATURES
+        ]
+        assert abs(rows[0].log2_weight - math.log2(lam / (1 - lam))) < tol
+        assert rows[0].agree == ""
+        cum = rows[0].log2_weight
+        for i, (name, _) in enumerate(er_queries.FS_FEATURES):
+            r = rows[i + 1]
+            expected_w = (
+                em[name].w_agree if pat[i] == "T" else em[name].w_disagree
+            )
+            assert r.agree == pat[i]
+            assert abs(r.log2_weight - expected_w) < tol
+            cum += r.log2_weight
+            assert abs(r.cum_log_odds - cum) < tol
+        odds = 2.0 ** rows[-1].cum_log_odds
+        assert abs(rows[0].fs_posterior - odds / (1 + odds)) < tol
+        assert abs(rows[0].fs_posterior - posts[pat].fs_posterior) < tol
+        assert all(abs(r.fs_posterior - rows[0].fs_posterior) < 1e-12 for r in rows)
+        assert rows[0].n_pairs == posts[pat].n_pairs
