@@ -497,6 +497,71 @@ def q_sql_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_COST_REGION = "EUROPE"
+MIN_COST_TYPE = "STANDARD"
+MIN_COST_MIN_SIZE = 40
+
+
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape, decorrelated): for
+    each STANDARD large-size part, the EUROPE supplier(s) offering the
+    lowest observed discounted price. Q2's correlated scalar subquery
+    (``ps_supplycost = (SELECT min(..) .. WHERE same part, same region)``)
+    is decorrelated into a window ``min`` over the part key — one shuffle
+    on p_partkey instead of re-running the subquery per outer row. This
+    schema has no partsupp, so supply cost = min discounted lineitem
+    price per (part, supplier), an exact DECIMAL min (order-independent,
+    so the tie-set is engine-stable).
+
+    Plan (100 TB): per-(part,supplier) cost is one map-side-combinable
+    hash agg on the fact scan (only 3 columns read). ``part`` (filtered),
+    ``supplier``⋈``nation``⋈``region`` are bona-fide broadcast dims, so
+    the aggregated cost table never shuffles for the joins; the only
+    post-agg shuffle is the window on p_partkey. Mirrors the reference's
+    per-mention argmax-over-candidates (blink/main_dense.py:271-297) as a
+    grouped correlated-min."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _disc_price().alias("_dp")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min("_dp").alias("_cost"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == MIN_COST_REGION
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == MIN_COST_TYPE)
+        & (F.col("p_size") >= MIN_COST_MIN_SIZE)
+    ).select("p_partkey", "p_type")
+    j = (
+        cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    j = j.withColumn("_mc", F.min("_cost").over(w))
+    return j.filter(F.col("_cost") == F.col("_mc")).select(
+        "p_partkey",
+        "p_type",
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        _dbl(F.col("_cost"), "supply_cost"),
+    )
+
+
 def q_sql_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality audit of the star schema: key
     uniqueness, referential integrity, completeness, and value-range
@@ -595,6 +660,7 @@ QUERIES = {
     "sql_late_sole_supplier": q_sql_late_sole_supplier,
     "sql_rich_idle_customers": q_sql_rich_idle_customers,
     "sql_constraint_audit": q_sql_constraint_audit,
+    "sql_min_cost_supplier": q_sql_min_cost_supplier,
 }
 
 
@@ -856,4 +922,30 @@ SELECT 'orders.o_totalprice positive', count(*)::BIGINT,
          WHERE o_totalprice IS NULL OR o_totalprice <= 0
        )::BIGINT
 FROM orders"""
+
+    sql["sql_min_cost_supplier"] = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min({_DISC_PRICE}) AS c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MIN_COST_REGION}'
+),
+j AS (
+  SELECT p.p_partkey, p.p_type, eu.s_suppkey, eu.s_name, eu.n_name,
+         eu.s_acctbal, cost.c,
+         min(cost.c) OVER (PARTITION BY p.p_partkey) AS mc
+  FROM cost
+  JOIN part p ON p.p_partkey = cost.l_partkey
+  JOIN eu ON eu.s_suppkey = cost.l_suppkey
+  WHERE p.p_type = '{MIN_COST_TYPE}' AND p.p_size >= {MIN_COST_MIN_SIZE}
+)
+SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+       s_acctbal::DOUBLE AS s_acctbal,
+       round(c::DOUBLE, 6) + 0.0 AS supply_cost
+FROM j WHERE c = mc"""
     return sql
