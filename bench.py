@@ -224,6 +224,18 @@ def _scoring_throughput(
 
     from pyspark.sql import functions as F
 
+    # Pre-warm one Python/Arrow worker per core BEFORE timing: worker
+    # fork + numpy/pandas import is per-process startup cost, not stage
+    # throughput, and local[4N] pays 4x more of it than local[N] inside
+    # the timed window — a fixed serial bias against the high level.
+    # Workers are reused (spark.python.worker.reuse), so the timed stage
+    # runs against warm interpreters at BOTH levels.
+    warm = (
+        spark.range(0, cpus, 1, cpus)
+        .select(scoring.panel_udf(F.lit("warm"), F.lit("ware")).alias("p"))
+    )
+    warm.count()
+
     t0 = time.monotonic()
     # aggregate over match_p so Catalyst cannot prune the feature columns —
     # a bare count() would skip the entire scoring computation

@@ -59,7 +59,7 @@ def phonetic_key_col(col: F.Column) -> F.Column:
     code = F.translate(s, *_SOUNDEX_MAP)
     for d in "0123456":
         code = F.regexp_replace(code, d + "{2,}", d)
-    rest = F.regexp_replace(F.substring(code, 2, 1000), "0", "")
+    rest = F.regexp_replace(code.substr(F.lit(2), F.length(code)), "0", "")
     return F.when(
         F.length(s) > 0,
         F.concat(F.upper(F.substring(s, 1, 1)), F.rpad(F.substring(rest, 1, 3), 3, "0")),
@@ -73,7 +73,7 @@ def sql_phonetic_key(expr: str) -> str:
     code = f"translate({s}, '{_SOUNDEX_MAP[0]}', '{_SOUNDEX_MAP[1]}')"
     for d in "0123456":
         code = f"regexp_replace({code}, '{d}{{2,}}', '{d}', 'g')"
-    rest = f"regexp_replace(substr({code}, 2, 1000), '0', '', 'g')"
+    rest = f"regexp_replace(substr({code}, 2, len({code})), '0', '', 'g')"
     return (
         f"CASE WHEN len({s}) > 0 THEN upper(substr({s}, 1, 1)) ||"
         f" rpad(substr({rest}, 1, 3), 3, '0') ELSE '' END"
@@ -321,6 +321,76 @@ def _pair_block_rows(
     )
 
     return pairs_small.unionByName(pairs_big)
+
+
+def banded_pairs(
+    membership: DataFrame,
+    block_cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """Distinct canonical candidate pairs from a LONG-id ``(file_id,
+    block_key)`` membership table — the doc/emb near-dup analog of
+    :func:`candidate_pairs`.
+
+    Same scale discipline as the ER path: the pre-dedup pair union is
+    FIXED-WIDTH (key_rank + two long ids — no band-key string, no payload
+    arrays), oversized blocks go through the salted replication join
+    (each pair still appears exactly once per block, so the distinct set
+    is invariant), and the dedup is a whole-stage-codegen HashAggregate
+    over longs. Payload columns (shingle-hash arrays, embeddings) must be
+    fetched AFTER this dedup via ``scoring.pair_feature_join`` — never
+    carried through the band join (measured on the ER side: fat pre-dedup
+    rows dominated the blocking stage at sf0.25; see
+    :func:`candidate_pairs`). Ids must be integral and distinct per
+    member; ids are already fixed-width, so no rank dictionary is needed.
+    Output: the DISTINCT ``(left_id, right_id)`` set with
+    ``left_id < right_id`` — byte-identical to a naive uncapped band
+    self-join, which is what the DuckDB oracles keep computing.
+    """
+    census = membership.groupBy("block_key").agg(F.count("*").alias("block_n"))
+    ranked = _order_rank(census, "block_key", "key_rank")
+    m = membership.join(
+        ranked.select("block_key", "block_n", "key_rank"), "block_key"
+    )
+
+    small = m.filter(F.col("block_n") <= block_cap).select("key_rank", "file_id")
+    big = m.filter(F.col("block_n") > block_cap).select(
+        "key_rank", "file_id", "block_n"
+    )
+
+    l, r = small.alias("l"), small.alias("r")
+    pairs_small = (
+        l.join(r, "key_rank")
+        .filter(F.col("l.file_id") < F.col("r.file_id"))
+        .select(
+            F.col("l.file_id").alias("left_id"),
+            F.col("r.file_id").alias("right_id"),
+        )
+    )
+
+    s_col = F.ceil(F.col("block_n") / F.lit(block_cap)).cast("int")
+    big_p = big.withColumn("s", s_col).withColumn(
+        "part", F.pmod(F.col("file_id").cast("long"), F.col("s").cast("long"))
+    )
+    lrep = (
+        big_p.withColumn("q", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
+        .select("key_rank", "file_id", F.col("q").cast("long").alias("q"))
+        .alias("lb")
+    )
+    rb = big_p.select("key_rank", "file_id", "part").alias("rb")
+    pairs_big = (
+        lrep.join(
+            rb,
+            (F.col("lb.key_rank") == F.col("rb.key_rank"))
+            & (F.col("lb.q") == F.col("rb.part")),
+        )
+        .filter(F.col("lb.file_id") < F.col("rb.file_id"))
+        .select(
+            F.col("lb.file_id").alias("left_id"),
+            F.col("rb.file_id").alias("right_id"),
+        )
+    )
+
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def pair_weights(

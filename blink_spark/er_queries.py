@@ -259,6 +259,41 @@ def q_string_panel_full(spark, sf_dir):
     )
 
 
+def q_string_panel_word(spark, sf_dir):
+    """Word-level (qval=None) string-distance panel — the reference
+    grid's ACTUAL token semantics (``textdistance.X(qval=None)`` =
+    whitespace-token sequences, multiset set-family,
+    ``scripts/prepare_nil_dataset.py:209-253``): positional Hamming,
+    multiset Jaccard/Sorensen/overlap/cosine, and Monge-Elkan with the
+    reference's ``str.split()`` tokenizer.  Word semantics are degenerate
+    on single-token basenames, so the domain is each candidate pair's
+    PATH as a token sequence (separators → spaces) — where multi-token
+    structure actually exists.  Every column has a DuckDB mirror
+    (multiset intersection as a pure list expression)."""
+    feat = _features(spark, sf_dir).select("file_id", "path")
+    p = _pairs(spark, sf_dir).select("left_id", "right_id")
+    wp = (
+        scoring.pair_feature_join(p, feat)
+        .select(
+            F.regexp_replace(
+                strdist.proj_col(F.col("l_path")), "[/._-]+", " "
+            ).alias("path_a"),
+            F.regexp_replace(
+                strdist.proj_col(F.col("r_path")), "[/._-]+", " "
+            ).alias("path_b"),
+        )
+        .distinct()
+        .withColumn(
+            "__p", strdist.word_panel_udf(F.col("path_a"), F.col("path_b"))
+        )
+    )
+    return wp.select(
+        "path_a",
+        "path_b",
+        *[_r6(F.col(f"__p.{c}"), 6).alias(c) for c in strdist.WORD_PANEL],
+    )
+
+
 def q_match_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
 
@@ -854,9 +889,16 @@ def q_er_blocking_rules(spark, sf_dir):
             F.coalesce("n_unique_gold_pairs", F.lit(0))
             .cast("long")
             .alias("n_unique_gold_pairs"),
-            _r6(F.col("n_gold_pairs") / F.col("total_gold"), 6).alias(
-                "recall_vs_union"
-            ),
+            # -1.0 sentinel on a corpus with no blocked gold pair: 0/0 is
+            # NULL in Spark but NaN/inf under DuckDB's IEEE division —
+            # the one degenerate input where the engines would diverge
+            _r6(
+                F.when(
+                    F.col("total_gold") > 0,
+                    F.col("n_gold_pairs") / F.col("total_gold"),
+                ).otherwise(F.lit(-1.0)),
+                6,
+            ).alias("recall_vs_union"),
         )
     )
 
@@ -1331,11 +1373,23 @@ def q_er_rand_index(spark, sf_dir):
         "gold_pairs",
         "agree_pairs",
         _r6((tot - b1 - b2 + F.lit(2.0) * a) / tot, 6).alias("rand_index"),
+        # -1.0 sentinels on degenerate clusterings (all-singleton on both
+        # sides gives 0/0: NULL in Spark, NaN/inf under DuckDB's IEEE
+        # division) — same convention as q_er_nmi/q_er_triangles
         _r6(
-            (a - exp_a) / ((b1 + b2) / F.lit(2.0) - exp_a), 6
+            F.when(
+                (b1 + b2) / F.lit(2.0) - exp_a != 0,
+                (a - exp_a) / ((b1 + b2) / F.lit(2.0) - exp_a),
+            ).otherwise(F.lit(-1.0)),
+            6,
         ).alias("adjusted_rand"),
-        _r6(a / F.sqrt(b1 * b2), 6).alias("fowlkes_mallows"),
-        _r6(a / (b1 + b2 - a), 6).alias("jaccard_index"),
+        _r6(
+            F.when(b1 * b2 > 0, a / F.sqrt(b1 * b2)).otherwise(F.lit(-1.0)), 6
+        ).alias("fowlkes_mallows"),
+        _r6(
+            F.when(b1 + b2 - a > 0, a / (b1 + b2 - a)).otherwise(F.lit(-1.0)),
+            6,
+        ).alias("jaccard_index"),
     )
 
 
@@ -1562,39 +1616,53 @@ def q_cdc_clusters(spark, sf_dir):
     closure over the REDUCED corpus — streamed CDC ≡ batch rebuild,
     proven against an independent engine.
 
-    Driver-side pandas here is harness scaffolding only (it SIMULATES
-    file-drop arrival inside one correctness query, exactly like the
-    ``evt_stream_*`` queries); production events arrive from Kafka/file
+    The change stream is synthesized WITH SPARK (filter on the same
+    sha-prefix predicate + ``write.parquet`` per batch — the corpus never
+    materializes on the driver; only the finished part-FILE is renamed
+    into the watched dir, a metadata move). This SIMULATES file-drop
+    arrival inside one correctness query, exactly like the
+    ``evt_stream_*`` queries; production events arrive from Kafka/file
     drops already batched."""
-    import hashlib
+    import glob
     import os
+    import shutil
     import tempfile
     import time
 
-    import pandas as pd
-
     from blink_spark import streaming
 
-    pdf = load_source(spark, sf_dir).toPandas()
-    first_hex = pdf["path"].map(
-        lambda p: hashlib.sha256(p.encode()).hexdigest()[0]
+    src = load_source(spark, sf_dir)
+    first_hex = F.substring(F.sha2(F.col("path"), 256), 1, 1)
+    null_s = F.lit(None).cast("string")
+    ins1 = src.filter(first_hex.isin(*"01234567")).withColumn(
+        "op", F.lit("insert")
     )
-    ins1 = pdf[first_hex.isin(list("01234567"))].copy()
-    ins2 = pdf[~first_hex.isin(list("01234567"))].copy()
-    ins1["op"] = ins2["op"] = "insert"
-    dels = pdf.loc[first_hex.isin(["0", "1"]), ["repo", "path", "commit"]].copy()
-    for c in ("lang", "content", "gold_cluster"):
-        dels[c] = pd.Series([None] * len(dels), dtype="string")
-    dels["op"] = "delete"
-    cols = ["repo", "path", "commit", "lang", "content", "gold_cluster", "op"]
-    b2 = pd.concat([ins2[cols], dels[cols]], ignore_index=True)
+    ins2 = src.filter(~first_hex.isin(*"01234567")).withColumn(
+        "op", F.lit("insert")
+    )
+    dels = src.filter(first_hex.isin("0", "1")).select(
+        "repo",
+        "path",
+        "commit",
+        null_s.alias("lang"),
+        null_s.alias("content"),
+        null_s.alias("gold_cluster"),
+        F.lit("delete").alias("op"),
+    )
+    b2 = ins2.unionByName(dels)
 
     input_dir = tempfile.mkdtemp(prefix="er_cdc_in_")
     now = time.time()
-    for i, b in enumerate((ins1[cols], b2)):
+    for i, b in enumerate((ins1, b2)):
+        # one part-file per batch: the file IS the micro-batch under
+        # maxFilesPerTrigger=1, and its mtime fixes the arrival order
+        staging = tempfile.mkdtemp(prefix=f"er_cdc_stage{i}_")
+        b.coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
         p = os.path.join(input_dir, f"b{i}.parquet")
-        b.to_parquet(p, index=False)
+        shutil.move(part, p)
         os.utime(p, (now + i, now + i))
+        shutil.rmtree(staging, ignore_errors=True)
     state_dir = tempfile.mkdtemp(prefix="er_cdc_state_")
     q = streaming.stream_link_cdc(
         spark,
@@ -2514,7 +2582,9 @@ tot AS (
 SELECT v.rule, v.n_blocks, v.n_pair_slots, p.n_pairs, p.n_gold_pairs,
        coalesce(u.n_unique_pairs, 0)::BIGINT AS n_unique_pairs,
        coalesce(u.n_unique_gold_pairs, 0)::BIGINT AS n_unique_gold_pairs,
-       round(p.n_gold_pairs / t.total_gold, 6) + 0.0 AS recall_vs_union
+       round(CASE WHEN t.total_gold > 0
+                  THEN p.n_gold_pairs / t.total_gold
+                  ELSE -1.0 END, 6) + 0.0 AS recall_vs_union
 FROM vol v JOIN per_rule p USING (rule)
 LEFT JOIN uniq u USING (rule) CROSS JOIN tot t"""
 
@@ -2790,13 +2860,19 @@ nrecr AS (SELECT count(*)::BIGINT AS n_records FROM lblr)
 SELECT n_records, pred_pairs, gold_pairs, agree_pairs,
   round((tot - pred_pairs - gold_pairs + 2.0 * agree_pairs) / tot, 6) + 0.0
     AS rand_index,
-  round((agree_pairs - exp_a)
-        / ((pred_pairs + gold_pairs) / 2.0 - exp_a), 6) + 0.0
+  round(CASE WHEN (pred_pairs + gold_pairs) / 2.0 - exp_a <> 0
+             THEN (agree_pairs - exp_a)
+                  / ((pred_pairs + gold_pairs) / 2.0 - exp_a)
+             ELSE -1.0 END, 6) + 0.0
     AS adjusted_rand,
-  round(agree_pairs / sqrt(CAST(pred_pairs AS DOUBLE) * gold_pairs), 6) + 0.0
+  round(CASE WHEN pred_pairs * gold_pairs > 0
+             THEN agree_pairs / sqrt(CAST(pred_pairs AS DOUBLE) * gold_pairs)
+             ELSE -1.0 END, 6) + 0.0
     AS fowlkes_mallows,
-  round(CAST(agree_pairs AS DOUBLE)
-        / (pred_pairs + gold_pairs - agree_pairs), 6) + 0.0
+  round(CASE WHEN pred_pairs + gold_pairs - agree_pairs > 0
+             THEN CAST(agree_pairs AS DOUBLE)
+                  / (pred_pairs + gold_pairs - agree_pairs)
+             ELSE -1.0 END, 6) + 0.0
     AS jaccard_index
 FROM (
   SELECT *, n_records * (n_records - 1) / 2 AS tot,
@@ -2928,6 +3004,23 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
                    for col, fn in strdist.SQL_PANEL.items()
                )}
              FROM bp""",
+        "er_string_panel_word": c
+        + f""", wp AS (
+               SELECT DISTINCT
+                 regexp_replace({strdist.sql_proj('lf.fpath')},
+                                '[/._-]+', ' ', 'g') AS path_a,
+                 regexp_replace({strdist.sql_proj('rf.fpath')},
+                                '[/._-]+', ' ', 'g') AS path_b
+               FROM pairs p
+               JOIN feat lf ON p.left_id = lf.file_id
+               JOIN feat rf ON p.right_id = rf.file_id
+             )
+             SELECT path_a, path_b,
+               {", ".join(
+                   f"(round({fn('path_a', 'path_b')}, 6) + 0.0) AS {col}"
+                   for col, fn in strdist.SQL_WORD_PANEL.items()
+               )}
+             FROM wp""",
         "er_match_edges": c + "SELECT left_id, right_id FROM match_edges",
         # 3 power iterations unrolled over the same `sym` CTE the
         # closure oracle uses; an independent evaluation order of the
@@ -3218,6 +3311,7 @@ QUERIES = {
     "er_scored_pairs": q_scored_pairs,
     "er_string_panel": q_string_panel,
     "er_string_panel_full": q_string_panel_full,
+    "er_string_panel_word": q_string_panel_word,
     "er_match_edges": q_match_edges,
     "er_pagerank": q_er_pagerank,
     "er_cluster_density": q_er_cluster_density,

@@ -362,10 +362,15 @@ def _make_sessionize_state_func(flush_idle: bool):
             seg_start = ts[heads]
             seg_end = ts[np.r_[heads[1:] - 1, len(ts) - 1]]
             if n and seg[0] == 0:
-                # batch head continues the carried session
+                # batch head continues the carried session; min/max the
+                # bounds so an out-of-order row BEHIND the carry (late
+                # arrival under flush_idle's watermark) folds into the
+                # session without regressing its start/end — a no-op on
+                # time-ordered replays
                 seg_n[0] += n
                 seg_sum[0] += sv
-                seg_start[0] = start
+                seg_start[0] = min(int(seg_start[0]), start)
+                seg_end[0] = max(int(seg_end[0]), last_ts)
             elif n:
                 # batch head opens a new session: the carry closes first
                 closed += 1
@@ -409,15 +414,16 @@ def _make_sessionize_state_func(flush_idle: bool):
     return _sessionize_state_func
 
 
-# default (no-timeout) variant: module-level so Spark pickles a stable
-# reference and unit tests can drive it directly
+# no-timeout variant: module-level so Spark pickles a stable reference
+# and unit tests can drive it directly (NOT the production default — see
+# sessionize_stream)
 _sessionize_state_func = _make_sessionize_state_func(False)
 
 
 def sessionize_stream(
     spark: SparkSession,
     input_dir: str,
-    flush_idle: bool = False,
+    flush_idle: bool = True,
     watermark: str = "30 minutes",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -425,9 +431,14 @@ def sessionize_stream(
     same session definition as the batch ``sessionize``; closed sessions
     stream out incrementally, the open tail of each user stays in
     state.  State is one fixed-size tuple per user — O(users), not
-    O(events).  With ``flush_idle`` the input is watermarked and open
-    sessions idle past SESSION_GAP are flushed by an event-time timeout
-    instead of waiting (possibly forever) for the user's next event."""
+    O(events).  With ``flush_idle`` (the DEFAULT — a long-running stream
+    must never hold an idle user's open session forever) the input is
+    watermarked and open sessions idle past SESSION_GAP are flushed by an
+    event-time timeout instead of waiting (possibly forever) for the
+    user's next event; the timeout changes WHEN a session is emitted,
+    never WHAT.  ``flush_idle=False`` is the opt-out for strictly
+    time-ordered file-source replays (exact closed-by-a-later-event
+    emission semantics, no watermark column required)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     base = read_events_stream(spark, input_dir, max_files_per_trigger)
@@ -577,7 +588,17 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable shuffle, same as ``evt_windowed_rollup``), so the window
     scan runs over buckets — hours × types, not events; one window
     shuffle on low-cardinality event_type with an O(1)-row frame.  A
-    constant-volume baseline (stddev 0) z-scores to 0, never NaN."""
+    constant-volume baseline (stddev 0) z-scores to 0, never NaN.
+
+    Semantics note: the ROWS-based frame spans the 24 most recent
+    OBSERVED buckets — hours with zero events produce no census row, so
+    they are excluded from both the baseline (for a type that goes
+    silent, the baseline window covers more than 24 wall-clock hours)
+    and the verdicts (a zero-volume hour is never itself flagged).
+    Judging silence would require densifying the census per type
+    (``sequence`` over the bucket range, counts coalesced to 0) before
+    the window; this query deliberately judges observed volume only —
+    dead-stream detection is a liveness check, not a volume z-score."""
     ev = load_events(spark, sf_dir)
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

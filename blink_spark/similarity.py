@@ -28,14 +28,19 @@ PLANES: list[list[float]] = [
     [round(float(x), 6) + 0.0 for x in _rng.randn(EMB_DIM)] for _ in range(N_PLANES)
 ]
 
-# IVF coarse quantizer: fixed seeded unit centroids (the FAISS IVF
-# `nlist` cells, ``elq/index/faiss_indexer.py:71-90``). Deterministic
-# literals rather than trained k-means so the SQL oracle reproduces cell
-# assignment bit-for-bit; on a real corpus these would come from a sampled
-# k-means fit, same plan shape downstream.
+# IVF coarse quantizer (the FAISS IVF `nlist` cells,
+# ``elq/index/faiss_indexer.py:71-90``). CENTROIDS are the seeded unit
+# INIT for a deterministic sampled spherical-k-means fit
+# (``train_ivf_centroids``), mirroring faiss's `train()` on a corpus
+# sample before `add()`; every arithmetic step of the fit is
+# engine-invariant (per-dim DECIMAL sums, fixed iteration count, 6-dp
+# rounding, argmax tie-broken by cell id), so the DuckDB oracle replays
+# the identical training and reproduces cell assignment bit-for-bit.
 N_CELLS = 16
 ANN_NPROBE = 4  # default probe count for emb_ann_topk
 NPROBE_GRID = [1, 2, 4, 8, 12, 16]
+KMEANS_ITERS = 4  # fixed Lloyd iterations (determinism > convergence test)
+TRAIN_MOD = 3  # vec_id % TRAIN_MOD == 1 rows are the training sample
 _crng = np.random.RandomState(11)
 _cen = _crng.randn(N_CELLS, EMB_DIM)
 _cen /= np.linalg.norm(_cen, axis=1, keepdims=True)
@@ -104,18 +109,95 @@ def q_emb_knn(spark, sf_dir):
     )
 
 
-def _cell_ranks(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def _cell_ranks(
+    df: DataFrame, id_col: str = "vec_id", cents: list[list[float]] | None = None
+) -> DataFrame:
     """(id, cell, sim, cell_rank): every IVF cell ranked per vector by
-    centroid dot product (row norm is constant per vector, so dot order ==
-    cosine order). cell_rank=1 is the vector's home cell; ranks 2..P are
-    its probe order — the FAISS IVF nprobe schedule
+    centroid dot product (centroids are unit, so dot order == cosine
+    order). cell_rank=1 is the vector's home cell; ranks 2..P are its
+    probe order — the FAISS IVF nprobe schedule
     (``elq/index/faiss_indexer.py:71-90``)."""
+    cents = CENTROIDS if cents is None else cents
     sims = F.array(*[
-        _dot(F.col("v"), F.array(*[F.lit(p) for p in c])) for c in CENTROIDS
+        _dot(F.col("v"), F.array(*[F.lit(p) for p in c])) for c in cents
     ])
     e = df.select(F.col(id_col), F.posexplode(sims).alias("cell", "sim"))
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return e.withColumn("cell_rank", F.row_number().over(w))
+
+
+def train_ivf_centroids(emb: DataFrame) -> list[list[float]]:
+    """Deterministic sampled spherical k-means for the IVF coarse
+    quantizer — the analog of faiss IVF's ``train()``
+    (``elq/index/faiss_indexer.py:71-90``), made engine-invariant so the
+    DuckDB oracle replays it bit-for-bit:
+
+    - training sample: ``vec_id % TRAIN_MOD == 1`` (a fixed predicate,
+      not Spark ``sample()`` — reproducible anywhere);
+    - init: the seeded unit CENTROIDS literals;
+    - exactly KMEANS_ITERS Lloyd rounds; assignment = argmax centroid
+      dot, ties to the lowest cell id;
+    - update: per-dimension mean via EXACT DECIMAL sums of the 6-dp
+      rounded components (order-independent, so partitioning cannot
+      change the result), one double division, 6-dp round, then unit
+      normalization (again 6-dp) — empty cells keep their previous
+      centroid.
+
+    Scale shape: each round is one narrow shuffle of the O(sample)
+    assignment into an nlist-row aggregate; only the nlist × dim centroid
+    table (16 × 64 here) ever reaches the driver — the spark.ml KMeans
+    contract. The fit is cached per corpus by :func:`trained_centroids`.
+    """
+    train = emb.filter(F.col("vec_id") % TRAIN_MOD == 1).select("vec_id", "v")
+    cents = CENTROIDS
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            _cell_ranks(train, "vec_id", cents)
+            .filter(F.col("cell_rank") == 1)
+            .select("vec_id", "cell")
+            .join(train, "vec_id")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.round(F.col("v").getItem(d), 6).cast("decimal(28,6)")
+                ).alias(f"s{d}")
+                for d in range(EMB_DIM)
+            ],
+        )
+        marr = F.array(*[
+            F.round(F.col(f"s{d}").cast("double") / F.col("n"), 6)
+            for d in range(EMB_DIM)
+        ])
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(marr, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        unit = F.transform(marr, lambda x: F.round(x / norm, 6) + F.lit(0.0))
+        rows = sums.select(
+            "cell", F.when(norm > 0, unit).alias("c")
+        ).collect()
+        new = {r["cell"]: (list(r["c"]) if r["c"] is not None else None) for r in rows}
+        cents = [new.get(j) or cents[j] for j in range(N_CELLS)]
+    return cents
+
+
+_TRAINED_CACHE: dict[str, list[list[float]]] = {}
+
+
+def trained_centroids(spark, sf_dir: str) -> list[list[float]]:
+    """Per-corpus cache of the k-means fit (both ANN queries and repeat
+    driver calls reuse one training run per session)."""
+    if sf_dir not in _TRAINED_CACHE:
+        emb = load_embeddings(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        _TRAINED_CACHE[sf_dir] = train_ivf_centroids(emb)
+    return _TRAINED_CACHE[sf_dir]
 
 
 def q_emb_ann_topk(spark, sf_dir):
@@ -125,13 +207,22 @@ def q_emb_ann_topk(spark, sf_dir):
     probed cells, windowed top-k. The cell join shuffles on `cell` — the
     IVF partitioning itself — so at 100 TB each executor reranks only its
     cells' residents (~nprobe/nlist of the corpus per query), never the
-    full table."""
+    full table. Cells come from the deterministic sampled k-means fit
+    (``train_ivf_centroids``) — the trained-quantizer regime, as faiss
+    trains before add()."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
+    cents = trained_centroids(spark, sf_dir)
     cells = (
-        _cell_ranks(emb).filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+        _cell_ranks(emb, cents=cents)
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell")
     ).join(emb, "vec_id")
     probes = (
-        _cell_ranks(queries.select(F.col("query_id"), F.col("q").alias("v")), "query_id")
+        _cell_ranks(
+            queries.select(F.col("query_id"), F.col("q").alias("v")),
+            "query_id",
+            cents=cents,
+        )
         .filter(F.col("cell_rank") <= ANN_NPROBE)
         .select("query_id", "cell")
     ).join(queries, "query_id")
@@ -160,17 +251,30 @@ def q_emb_ann_recall(spark, sf_dir):
     probe depth P iff its home cell ranks ≤ P for the query (once present,
     it always survives the exact rerank — anything above it in the
     candidate order is also above it in the exact order). Returns one row
-    per nprobe: (nprobe, recall, scan_frac)."""
+    per nprobe: (nprobe, recall, scan_frac). Cells come from the
+    deterministic sampled k-means fit (``train_ivf_centroids``)."""
     emb, queries = _corpus_and_queries(spark, sf_dir)
-    return ann_recall(spark, emb, queries)
+    return ann_recall(spark, emb, queries, cents=trained_centroids(spark, sf_dir))
 
 
-def ann_recall(spark, emb: DataFrame, queries: DataFrame) -> DataFrame:
+def ann_recall(
+    spark,
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
     """Frame-parametrized IVF recall sweep (see q_emb_ann_recall); lets
-    tests run the same measurement on a clustered corpus fixture."""
-    cells = _cell_ranks(emb).filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    tests run the same measurement on a clustered corpus fixture, with
+    either the seeded-literal or a trained quantizer."""
+    cells = (
+        _cell_ranks(emb, cents=cents)
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell")
+    )
     qranks = _cell_ranks(
-        queries.select(F.col("query_id"), F.col("q").alias("v")), "query_id"
+        queries.select(F.col("query_id"), F.col("q").alias("v")),
+        "query_id",
+        cents=cents,
     ).select("query_id", "cell", "cell_rank")
 
     exact = _exact_topk(emb, queries).select("query_id", "neighbor_id")
@@ -427,9 +531,54 @@ SELECT b.vec_id, b.bucket, s.bucket_n FROM b JOIN s USING (bucket)"""
     cen_rows = ",\n  ".join(
         f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(CENTROIDS)
     )
+    # replay of train_ivf_centroids, arithmetic-step-for-step: fixed
+    # sample predicate, KMEANS_ITERS unrolled Lloyd rounds, per-dim exact
+    # DECIMAL sums of the 6-dp-rounded components, one double division,
+    # 6-dp round, unit-normalize at 6 dp; empty/degenerate cells carry the
+    # previous round's centroid forward (LEFT JOIN + COALESCE).
+    sum_cols = ", ".join(
+        f"sum(CAST(round(v[{d + 1}], 6) AS DECIMAL(28,6))) AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    mean_arr = ", ".join(
+        f"round(CAST(s{d} AS DOUBLE) / n, 6)" for d in range(EMB_DIM)
+    )
+    km_parts = [
+        f"cen0(cell, c) AS (VALUES {cen_rows})",
+        f"train AS (SELECT vec_id, v FROM e WHERE vec_id % {TRAIN_MOD} = 1)",
+    ]
+    prev = "cen0"
+    for i in range(1, KMEANS_ITERS + 1):
+        km_parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT t.vec_id, t.v, c.cell, row_number() OVER (
+      PARTITION BY t.vec_id ORDER BY list_dot_product(t.v, c.c) DESC, c.cell ASC
+    ) AS rk FROM train t CROSS JOIN {prev} c
+  ) WHERE rk = 1
+)"""
+        )
+        km_parts.append(
+            f"s{i} AS (SELECT cell, count(*) AS n, {sum_cols} FROM a{i} GROUP BY cell)"
+        )
+        km_parts.append(f"m{i} AS (SELECT cell, [{mean_arr}] AS m FROM s{i})")
+        km_parts.append(
+            f"""u{i} AS (
+  SELECT cell,
+    list_transform(m, x -> round(x / sqrt(list_dot_product(m, m)), 6) + 0.0) AS c
+  FROM m{i} WHERE sqrt(list_dot_product(m, m)) > 0
+)"""
+        )
+        km_parts.append(
+            f"cen{i} AS (SELECT p.cell, COALESCE(u.c, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN u{i} u USING (cell))"
+        )
+        prev = f"cen{i}"
+    kmeans_chain = ",\n".join(km_parts)
     ivf_cte = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cen(cell, c) AS (VALUES {cen_rows}),
+{kmeans_chain},
+cen AS (SELECT cell, c FROM {prev}),
 sims AS (
   SELECT e.vec_id, cen.cell, list_dot_product(e.v, cen.c) AS sim
   FROM e CROSS JOIN cen

@@ -37,16 +37,18 @@ The reference's remaining name, Tanimoto, is ``log2`` of the Jaccard
 coefficient — a monotone transform of the ``jaccard_sh``/``charjac_base``
 columns already emitted — and is intentionally not duplicated.
 
-Fidelity note: these kernels are CHARACTER-level variants of the
+Fidelity note: the kernels above are CHARACTER-level variants of the
 reference grid.  textdistance's default ``qval=None`` tokenizes on
 whitespace (word-level sequences), and its Monge-Elkan splits tokens
-with ``str.split()`` where ours splits on ``[^a-z0-9]+``.  On the
-single-token basename strings this panel scores the two conventions
-coincide; on multi-token strings values intentionally diverge from the
-reference grid (character-level is the right granularity for filename
-keys).  Parity is therefore pinned against independent character-level
-naive implementations (``tests/test_strdist.py``), not against
-textdistance word-level outputs.
+with ``str.split()`` where the char-level one splits on ``[^a-z0-9]+``.
+On the single-token basename strings the char panel scores, the two
+conventions coincide; character-level is the right granularity for
+filename keys.  The reference's ACTUAL word-level semantics are
+implemented separately in the WORD_PANEL section below (positional
+Hamming, multiset Jaccard/Sorensen/overlap/cosine, ``str.split()``
+Monge-Elkan) and exercised over multi-token path sequences by
+``er_string_panel_word``, oracle-gated and fuzz-pinned against naive
+formulations in ``tests/test_strdist.py``.
 
 Parity contract (mirrors the lev_path contract in scoring.py): every
 distance operates on ``proj(s) = lower(regexp_replace(s, '[^ -~]', '?'))``
@@ -58,7 +60,9 @@ lowercases both sides the same way (``prepare_nil_dataset.py:246``).
 
 from __future__ import annotations
 
+import math
 import re
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -322,6 +326,180 @@ PY_PANEL = {
     "tversky_base": tversky_sim,
     "monge_elkan_base": monge_elkan_dl,
     "lcs_str_base": lcs_str_sim,
+}
+
+
+# ---------------------------------------------------------------------------
+# Word-level (qval=None) panel — the reference grid's ACTUAL token
+# semantics: ``textdistance.X(qval=None)`` treats each string as its
+# whitespace-token sequence (``str.split()``) and the set-family
+# distances operate on token MULTISETS (Counter intersection = sum of
+# min multiplicities).  These run next to the character-level panel
+# above (char-level is the right granularity for filename keys; word
+# level is the reference parity surface for multi-token strings —
+# ``scripts/prepare_nil_dataset.py:209-253``).
+# ---------------------------------------------------------------------------
+
+def _wtokens(s: str) -> list[str]:
+    """``str.split()`` — textdistance's qval=None external tokenizer
+    (splits on whitespace runs, strips ends)."""
+    return s.split()
+
+
+def _wcounts(ta: list[str], tb: list[str]) -> tuple[int, int, int]:
+    """(|A∩B|, |A|, |B|) with multiset intersection."""
+    ca = Counter(ta)
+    cb = Counter(tb)
+    inter = sum((ca & cb).values())
+    return inter, len(ta), len(tb)
+
+
+def hamming_word_sim(a: str, b: str) -> float:
+    """Positional token-sequence Hamming similarity: matches at aligned
+    positions / max token count (textdistance Hamming, qval=None)."""
+    ta, tb = _wtokens(a), _wtokens(b)
+    mx = max(len(ta), len(tb))
+    if mx == 0:
+        return 1.0
+    return sum(1 for x, y in zip(ta, tb) if x == y) / mx
+
+
+def jaccard_word_sim(a: str, b: str) -> float:
+    inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
+    union = la + lb - inter
+    return inter / union if union else 1.0
+
+
+def sorensen_word_sim(a: str, b: str) -> float:
+    inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
+    return 2.0 * inter / (la + lb) if la + lb else 1.0
+
+
+def overlap_word_sim(a: str, b: str) -> float:
+    inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
+    mn = min(la, lb)
+    return inter / mn if mn else 1.0
+
+
+def cosine_word_sim(a: str, b: str) -> float:
+    inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
+    return inter / math.sqrt(la * lb) if la and lb else 1.0
+
+
+def monge_elkan_word(a: str, b: str) -> float:
+    """Monge-Elkan with the REFERENCE's tokenizer (``str.split()``, not
+    the ``[^a-z0-9]+`` splitter of :func:`monge_elkan_dl`) and the same
+    normalized Damerau-Levenshtein inner similarity."""
+    ta, tb = _wtokens(a), _wtokens(b)
+    if not ta and not tb:
+        return 1.0
+    if not ta or not tb:
+        return 0.0
+    total = 0.0
+    for x in ta:
+        best = 0.0
+        for y in tb:
+            sim = 1.0 - damerau_levenshtein(x, y) / max(len(x), len(y))
+            if sim > best:
+                best = sim
+        total += best
+    return total / len(ta)
+
+
+def _sql_wtok(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+    )
+
+
+def _sql_winter(ta: str, tb: str) -> str:
+    """Multiset token intersection |A∩B| as a pure list expression."""
+    return (
+        f"coalesce(list_sum(list_transform(list_distinct({ta}), t -> "
+        f"least(len(list_filter({ta}, x -> x = t)), "
+        f"len(list_filter({tb}, x -> x = t))))), 0)"
+    )
+
+
+def sql_hamming_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    matches = (
+        f"coalesce(list_sum(list_transform("
+        f"range(1, least(len({ta}), len({tb})) + 1), "
+        f"i -> CASE WHEN {ta}[i] = {tb}[i] THEN 1 ELSE 0 END)), 0)"
+    )
+    return (
+        f"(CASE WHEN greatest(len({ta}), len({tb})) = 0 THEN 1.0 "
+        f"ELSE CAST({matches} AS DOUBLE) / greatest(len({ta}), len({tb})) END)"
+    )
+
+
+def sql_jaccard_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    inter = _sql_winter(ta, tb)
+    return (
+        f"(CASE WHEN len({ta}) + len({tb}) - {inter} = 0 THEN 1.0 "
+        f"ELSE CAST({inter} AS DOUBLE) / (len({ta}) + len({tb}) - {inter}) END)"
+    )
+
+
+def sql_sorensen_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    inter = _sql_winter(ta, tb)
+    return (
+        f"(CASE WHEN len({ta}) + len({tb}) = 0 THEN 1.0 "
+        f"ELSE 2.0 * {inter} / (len({ta}) + len({tb})) END)"
+    )
+
+
+def sql_overlap_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    inter = _sql_winter(ta, tb)
+    return (
+        f"(CASE WHEN least(len({ta}), len({tb})) = 0 THEN 1.0 "
+        f"ELSE CAST({inter} AS DOUBLE) / least(len({ta}), len({tb})) END)"
+    )
+
+
+def sql_cosine_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    inter = _sql_winter(ta, tb)
+    return (
+        f"(CASE WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 1.0 "
+        f"ELSE CAST({inter} AS DOUBLE) / sqrt(CAST(len({ta}) AS DOUBLE) * len({tb})) END)"
+    )
+
+
+def sql_monge_elkan_word(a: str, b: str) -> str:
+    ta, tb = _sql_wtok(a), _sql_wtok(b)
+    inner = (
+        f"list_max(list_transform({tb}, tb_t -> "
+        f"1.0 - CAST(damerau_levenshtein(ta_t, tb_t) AS DOUBLE) "
+        f"/ greatest(length(ta_t), length(tb_t))))"
+    )
+    return (
+        f"(CASE WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+        f"WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0 "
+        f"ELSE list_avg(list_transform({ta}, ta_t -> {inner})) END)"
+    )
+
+
+WORD_PANEL = {
+    "hamming_w": hamming_word_sim,
+    "jaccard_w": jaccard_word_sim,
+    "sorensen_w": sorensen_word_sim,
+    "overlap_w": overlap_word_sim,
+    "cosine_w": cosine_word_sim,
+    "monge_elkan_w": monge_elkan_word,
+}
+
+SQL_WORD_PANEL = {
+    "hamming_w": sql_hamming_word,
+    "jaccard_w": sql_jaccard_word,
+    "sorensen_w": sql_sorensen_word,
+    "overlap_w": sql_overlap_word,
+    "cosine_w": sql_cosine_word,
+    "monge_elkan_w": sql_monge_elkan_word,
 }
 
 
@@ -655,8 +833,22 @@ def lcs_like_lev_sim(a: str, b: str) -> float:
     return 1.0 - prev[lb] / max(la, lb)
 
 
+_WORD_COLS = list(WORD_PANEL)
+_WORD_SCHEMA = StructType([StructField(c, DoubleType()) for c in _WORD_COLS])
+
+
+def _word_batch(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Word-level (qval=None) panel — inputs already proj()-ed."""
+    rows = [
+        tuple(fn(x or "", y or "") for fn in WORD_PANEL.values())
+        for x, y in zip(a, b)
+    ]
+    return pd.DataFrame(rows, columns=_WORD_COLS)
+
+
 ext_panel_udf = F.pandas_udf(_ext_batch, _EXT_SCHEMA)
 full_panel_udf = F.pandas_udf(_full_batch, _FULL_SCHEMA)
+word_panel_udf = F.pandas_udf(_word_batch, _WORD_SCHEMA)
 
 
 def proj_col(c: F.Column) -> F.Column:

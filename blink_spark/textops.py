@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.window import Window
 
-from blink_spark import clustering, minhash, scoring
+from blink_spark import blocking, clustering, minhash, scoring
 from blink_spark.parity import r6 as _r6
 
 SIMHASH_BITS = 60  # base_hash is 60-bit (15 hex chars of md5)
@@ -222,31 +222,45 @@ def q_doc_simhash(spark, sf_dir):
     return df.select("doc_id", "simhash", *bands)
 
 
+def _banded_verify(feat: DataFrame, payload: str) -> DataFrame:
+    """Shared band-join discipline for the doc/emb near-dup family:
+    ids-only band membership → ``blocking.banded_pairs`` (fixed-width
+    pre-dedup rows, capped+salted hot bands) → post-dedup payload fetch
+    via ``scoring.pair_feature_join``. The payload array NEVER rides the
+    pre-dedup pair shuffle — the same fat-row/hot-key fix the ER blocking
+    stage measured at sf0.25 (blocking.py:candidate_pairs). ``feat`` is
+    (file_id, <payload>, block_keys); persisted because membership and
+    both fetch sides read it.
+
+    Feature fetch leaves the join strategy to AQE
+    (``broadcast_features=False``): at test scale the payload table
+    broadcasts; at corpus scale both sides bucket by file_id instead of
+    the caller asserting a broadcast that would OOM."""
+    feat = feat.persist()
+    memb = feat.select("file_id", F.explode("block_keys").alias("block_key"))
+    pairs = blocking.banded_pairs(memb)
+    return scoring.pair_feature_join(
+        pairs, feat.select("file_id", payload), broadcast_features=False
+    )
+
+
 def _near_dup_pairs(spark, sf_dir):
     df = _with_tokens(load_documents(spark, sf_dir))
-    df = df.withColumn(
-        "minhash_sig", minhash.minhash_signature_col(F.col("sh_hashes"))
-    ).withColumn("band_keys", minhash.band_keys_col(F.col("minhash_sig")))
-    memb = df.select("doc_id", "sh_hashes", F.explode("band_keys").alias("bk"))
-    l = memb.select(
-        F.col("doc_id").alias("left_id"),
-        F.col("sh_hashes").alias("l_h"),
-        "bk",
+    feat = df.select(
+        F.col("doc_id").alias("file_id"),
+        "sh_hashes",
+        minhash.band_keys_col(
+            minhash.minhash_signature_col(F.col("sh_hashes"))
+        ).alias("block_keys"),
     )
-    r = memb.select(
-        F.col("doc_id").alias("right_id"),
-        F.col("sh_hashes").alias("r_h"),
-        "bk",
+    fetched = _banded_verify(feat, "sh_hashes")
+    return (
+        fetched.withColumn(
+            "jaccard", scoring.jaccard_col(F.col("l_sh_hashes"), F.col("r_sh_hashes"))
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_TAU)
+        .select("left_id", "right_id", "jaccard")
     )
-    pairs = (
-        l.join(r, "bk")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "l_h", "r_h")
-        .dropDuplicates(["left_id", "right_id"])
-    )
-    return pairs.withColumn(
-        "jaccard", scoring.jaccard_col(F.col("l_h"), F.col("r_h"))
-    ).filter(F.col("jaccard") >= NEAR_DUP_TAU)
 
 
 def q_doc_near_dup_pairs(spark, sf_dir):
@@ -289,24 +303,19 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     pipelines run both. Same signature→band→bucket-join→verify shape, so
     it scales identically to the other dedup families."""
     docs = load_documents(spark, sf_dir)
-    df = docs.select(
-        "doc_id",
-        minhash.shingle_hashes_col(char_ngrams_col(F.col("text"))).alias("g_h"),
+    g_h = minhash.shingle_hashes_col(char_ngrams_col(F.col("text")))
+    feat = docs.select(
+        F.col("doc_id").alias("file_id"),
+        g_h.alias("g_h"),
+        minhash.band_keys_col(minhash.minhash_signature_col(g_h)).alias(
+            "block_keys"
+        ),
     )
-    df = df.withColumn(
-        "minhash_sig", minhash.minhash_signature_col(F.col("g_h"))
-    ).withColumn("band_keys", minhash.band_keys_col(F.col("minhash_sig")))
-    memb = df.select("doc_id", "g_h", F.explode("band_keys").alias("bk"))
-    l = memb.select(F.col("doc_id").alias("left_id"), F.col("g_h").alias("l_h"), "bk")
-    r = memb.select(F.col("doc_id").alias("right_id"), F.col("g_h").alias("r_h"), "bk")
-    pairs = (
-        l.join(r, "bk")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "l_h", "r_h")
-        .dropDuplicates(["left_id", "right_id"])
-    )
+    fetched = _banded_verify(feat, "g_h")
     return (
-        pairs.withColumn("jaccard", scoring.jaccard_col(F.col("l_h"), F.col("r_h")))
+        fetched.withColumn(
+            "jaccard", scoring.jaccard_col(F.col("l_g_h"), F.col("r_g_h"))
+        )
         .filter(F.col("jaccard") >= NGRAM_TAU)
         .select("left_id", "right_id", _r6("jaccard", 6).alias("jaccard"))
     )
@@ -365,26 +374,19 @@ def q_doc_emb_near_dup(spark, sf_dir):
             )
             key = key + F.when(d > 0, F.lit(1 << r_)).otherwise(F.lit(0))
         keys.append(F.concat(F.lit(f"b{j}:"), key.cast("string")))
-    memb = emb.select("doc_id", "embedding", F.explode(F.array(*keys)).alias("bk"))
-    l = memb.select(
-        F.col("doc_id").alias("left_id"), F.col("embedding").alias("l_e"), "bk"
+    feat = emb.select(
+        F.col("doc_id").alias("file_id"),
+        "embedding",
+        F.array(*keys).alias("block_keys"),
     )
-    r = memb.select(
-        F.col("doc_id").alias("right_id"), F.col("embedding").alias("r_e"), "bk"
-    )
-    pairs = (
-        l.join(r, "bk")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "l_e", "r_e")
-        .dropDuplicates(["left_id", "right_id"])
-    )
+    fetched = _banded_verify(feat, "embedding")
     cos = F.aggregate(
-        F.zip_with(F.col("l_e"), F.col("r_e"), lambda x, y: x * y),
+        F.zip_with(F.col("l_embedding"), F.col("r_embedding"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        pairs.withColumn("cosine", cos)
+        fetched.withColumn("cosine", cos)
         .filter(F.col("cosine") >= EMB_ND_TAU)
         .select("left_id", "right_id", _r6("cosine", 6).alias("cosine"))
     )

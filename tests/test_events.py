@@ -68,8 +68,12 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
 def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
     input_dir, _ = _write_ordered_chunks(tmp_path)
     # maxFilesPerTrigger is a SOURCE option: one chunk per micro-batch,
-    # so the cross-batch carry path actually runs
-    stream_df = events.sessionize_stream(spark, input_dir, max_files_per_trigger=1)
+    # so the cross-batch carry path actually runs; flush_idle=False opts
+    # out of the timeout default for exact closed-by-a-later-event
+    # emission semantics on this ordered replay
+    stream_df = events.sessionize_stream(
+        spark, input_dir, flush_idle=False, max_files_per_trigger=1
+    )
     q = (
         stream_df.writeStream.format("memory")
         .queryName("evt_sess_stream")
@@ -134,6 +138,100 @@ def test_sessionize_stream_flush_idle_times_out_open_sessions(spark, tmp_path):
     assert got <= batch_rows
     assert got >= closed_by_event
     assert len(got) > len(closed_by_event)  # the timeout actually fired
+
+
+def test_sessionize_stream_default_flushes_idle_and_absorbs_late_rows(
+    spark, tmp_path
+):
+    """The DEFAULT sessionizer (flush_idle=True) on a disordered replay,
+    both late-data regimes pinned:
+
+    - watermark delay 24h (bounded disorder ADMITTED): the out-of-order
+      row behind the carried tail is delivered, folds into the open
+      session, and must NOT regress its end bound; the idle user's
+      session is flushed once the watermark passes its gap; users whose
+      gap has not elapsed stay open (nothing emitted, state held).
+    - watermark delay 0s (disorder EXCLUDED): the same row is behind the
+      watermark, so the stateful operator's late-data filter drops it
+      before the state function, and the idle flush emits the untouched
+      2-event session.
+
+    availableNow runs one final timeout-only micro-batch after the last
+    file — that is what fires the idle flushes."""
+    import pandas as pd
+
+    T0 = pd.Timestamp("2024-01-01 00:00:00")
+    MIN, H = pd.Timedelta("1 minute"), pd.Timedelta("1 hour")
+
+    def mk(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": ts,
+                    "user_id": u,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                for i, (u, ts) in enumerate(rows)
+            ]
+        )
+
+    chunks = [
+        mk([(1, T0), (1, T0 + 10 * MIN), (2, T0)]),
+        mk([(2, T0 + 24 * H)]),  # advances the watermark past u1's gap
+        # u3 advances further; u1's row is OUT-OF-ORDER (behind the
+        # carried tail's last event at T0+10min)
+        mk([(3, T0 + 48 * H), (1, T0 + 5 * MIN)]),
+    ]
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    now = time.time()
+    for i, c in enumerate(chunks):
+        p = os.path.join(input_dir, f"c{i}.parquet")
+        c.to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (now + i, now + i))
+
+    us = lambda t: int(t.value // 1_000)  # noqa: E731
+
+    def run(watermark, name):
+        q = (
+            events.sessionize_stream(
+                spark, input_dir, watermark=watermark, max_files_per_trigger=1
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    # bounded disorder admitted: wm lags 24h, so T0+5min is on time
+    got = run("24 hours", "evt_sess_late_admit")
+    assert got == sorted(
+        [
+            # late row folded in (n=3); end stays T0+10min, NOT T0+5min
+            (1, 1, 3, us(T0), us(T0 + 10 * MIN), 600.0, 3.0),
+            # u2 idx1 closed by the 24h-later event; u2's tail and u3
+            # are within watermark+gap -> held open, nothing emitted
+            (2, 1, 1, us(T0), us(T0), 0.0, 1.0),
+        ]
+    )
+
+    # zero delay: the T0+5min row is late -> dropped before the state fn
+    got = run("0 seconds", "evt_sess_late_drop")
+    assert got == sorted(
+        [
+            (1, 1, 2, us(T0), us(T0 + 10 * MIN), 600.0, 2.0),
+            (2, 1, 1, us(T0), us(T0), 0.0, 1.0),
+            # u2's tail flushed too: wm reaches T0+48h > T0+24h+gap
+            (2, 2, 1, us(T0 + 24 * H), us(T0 + 24 * H), 0.0, 1.0),
+        ]
+    )
 
 
 class _FakeState:

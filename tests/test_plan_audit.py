@@ -65,3 +65,23 @@ def test_plan_has_no_cartesian_and_no_row_python(spark, name, fn):
     plan = _formatted_plan(fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan, f"{name}: unkeyed all-pairs join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_no_topandas_in_library_source():
+    """No ``queries()`` code path may materialize a corpus on the driver:
+    ``toPandas`` is banned from the library source outright (the one
+    historical use — er_cdc_clusters' change-stream scaffolding — now
+    builds its batches with Spark filters + write.parquet)."""
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "blink_spark",
+    )
+    hits = []
+    for fname in sorted(os.listdir(pkg)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(pkg, fname), encoding="utf-8") as f:
+            for lineno, line in enumerate(f, 1):
+                if "toPandas" in line:
+                    hits.append(f"{fname}:{lineno}: {line.strip()}")
+    assert not hits, "driver-side corpus materialization:\n" + "\n".join(hits)

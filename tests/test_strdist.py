@@ -49,6 +49,68 @@ def test_sql_panel_parity(col, a, b):
     assert math.isclose(got, float(want), abs_tol=1e-9), (col, a, b, got, want)
 
 
+# word strings: spaces + separators so the whitespace tokenizer and the
+# multi-token structure are actually exercised
+WALPHA = "ab c.x_1- "
+wordseqs = st.text(alphabet=WALPHA, min_size=0, max_size=24)
+
+
+@pytest.mark.parametrize("col", sorted(strdist.SQL_WORD_PANEL))
+@settings(max_examples=200, deadline=None)
+@given(a=wordseqs, b=wordseqs)
+def test_sql_word_panel_parity(col, a, b):
+    """Word-level (qval=None) kernels == the DuckDB fragments the
+    er_string_panel_word oracle embeds."""
+    sql_fn = strdist.SQL_WORD_PANEL[col]
+    expr = sql_fn(strdist.sql_proj("a"), strdist.sql_proj("b"))
+    want = _con.execute(
+        f"SELECT {expr} FROM (SELECT ?::VARCHAR AS a, ?::VARCHAR AS b)",
+        [a, b],
+    ).fetchone()[0]
+    got = strdist.WORD_PANEL[col](strdist.proj(a), strdist.proj(b))
+    assert math.isclose(got, float(want), abs_tol=1e-9), (col, a, b, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=wordseqs, b=wordseqs)
+def test_word_panel_invariants(a, b):
+    """Naive-formulation pins for the multiset family: brute-force token
+    intersection, the Dice↔Jaccard identity, the overlap ≥ cosine ≥
+    Jaccard sandwich, Hamming-vs-equality, and Monge-Elkan identity."""
+    ta, tb = a.split(), b.split()
+    # brute-force multiset intersection (no Counter)
+    pool = list(tb)
+    inter = 0
+    for t in ta:
+        if t in pool:
+            pool.remove(t)
+            inter += 1
+    j = strdist.jaccard_word_sim(a, b)
+    d = strdist.sorensen_word_sim(a, b)
+    o = strdist.overlap_word_sim(a, b)
+    c = strdist.cosine_word_sim(a, b)
+    if ta or tb:
+        assert math.isclose(
+            j, inter / (len(ta) + len(tb) - inter) if (len(ta) + len(tb) - inter) else 1.0,
+            abs_tol=1e-12,
+        )
+        assert math.isclose(d, 2 * inter / (len(ta) + len(tb)), abs_tol=1e-12)
+    # Dice↔Jaccard identity: D = 2J/(1+J)
+    assert math.isclose(d, 2 * j / (1 + j), abs_tol=1e-9)
+    if ta and tb:
+        assert o + 1e-12 >= c >= j - 1e-12
+    for v in (j, d, o, c):
+        assert -1e-12 <= v <= 1 + 1e-12
+    h = strdist.hamming_word_sim(a, b)
+    assert (h == 1.0) == (ta == tb)
+    assert math.isclose(strdist.monge_elkan_word(a, a), 1.0, abs_tol=1e-12)
+    # single-token coincidence: ME(word) == normalized DL on the token
+    if len(ta) == 1 and len(tb) == 1:
+        mx = max(len(ta[0]), len(tb[0]))
+        dl = 1.0 - strdist.damerau_levenshtein(ta[0], tb[0]) / mx
+        assert math.isclose(strdist.monge_elkan_word(a, b), dl, abs_tol=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # independent naive formulations for the DP kernels
 # ---------------------------------------------------------------------------
