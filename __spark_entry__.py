@@ -40,6 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # received a driver row.  Lead with them this round; the rotated-out
 # ``er_*`` rows stay green under tests/test_entry_contract.py, which runs
 # the identical Spark-vs-DuckDB hash compare over the full surface.
+# ROUND-5 ROTATION: once CORRECTNESS_r04 records these 50, replace this
+# list with [er_string_panel_word (new in r4, lands beyond the window)] +
+# the 19 queries whose only driver row is r02 (emb_knn, emb_lsh_buckets,
+# doc_exact_dedup, evt_sessionize, ... — diff r02 keys against r03/r04) so
+# every query has a round-recent driver row.
 _R4_PRIORITY = [
     # round-2 `err` regressions, fixed in r3, never re-checked green
     "media_metadata", "media_image_features", "media_audio_features",

@@ -193,7 +193,15 @@ def _scoring_throughput(
         extra_conf={
             "spark.sql.adaptive.coalescePartitions.minPartitionNum": str(
                 shuffle_partitions
-            )
+            ),
+            # NOTE on the double broadcast build: disabling AQE here makes
+            # the planner unify the two feature-broadcast subtrees into a
+            # ReusedExchange (verified: 16 ReusedExchange nodes, one build
+            # instead of two). A/B at sf0.25 showed it helps the LOW level
+            # (198k -> 213k pairs/s at local[4]) and does nothing at the
+            # high level — i.e. it made the measured ratio WORSE, not
+            # better — so AQE stays ON for production parity with
+            # run_full's pipeline.
         },
     )
     _quiet(spark)
@@ -256,7 +264,9 @@ def _scoring_throughput(
     }
 
 
-def _throughput_subprocess(sf_dir: str, cpus: int, parts: int) -> dict:
+def _throughput_subprocess(
+    sf_dir: str, cpus: int, parts: int, bucketed: bool = False
+) -> dict:
     """One measurement in a fresh python+JVM (clean heap, clean JIT)."""
     import subprocess
 
@@ -266,13 +276,20 @@ def _throughput_subprocess(sf_dir: str, cpus: int, parts: int) -> dict:
             "--scaling-level", str(cpus),
             "--sf-dir", sf_dir,
             "--parts", str(parts),
-        ],
+        ]
+        + (["--bucketed"] if bucketed else []),
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) -> dict:
+def run_scaling(
+    sf_dir: str,
+    n: int,
+    repeats: int = 2,
+    sf: float | None = 0.25,
+    bucketed: bool = False,
+) -> dict:
     """local[n] vs local[4n], one fresh process per measurement; identical
     plans (shuffle partitions pinned to the same data-sized count for
     both levels). Best-of-`repeats` per level damps JIT/startup noise —
@@ -297,11 +314,11 @@ def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) 
 
     parts = max(64, int(1024 * _sfd2(sf_dir)))
     lo = min(
-        (_throughput_subprocess(sf_dir, n, parts) for _ in range(repeats)),
+        (_throughput_subprocess(sf_dir, n, parts, bucketed) for _ in range(repeats)),
         key=lambda r: r["wall_s"],
     )
     hi = min(
-        (_throughput_subprocess(sf_dir, 4 * n, parts) for _ in range(repeats)),
+        (_throughput_subprocess(sf_dir, 4 * n, parts, bucketed) for _ in range(repeats)),
         key=lambda r: r["wall_s"],
     )
     eff = hi["pairs_per_sec"] / (4 * lo["pairs_per_sec"])
@@ -312,6 +329,7 @@ def run_scaling(sf_dir: str, n: int, repeats: int = 2, sf: float | None = 0.25) 
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": sf_from_dir(sf_dir),
+        "bucketed": bucketed,
         "low": lo,
         "high": hi,
         "speedup": round(hi["pairs_per_sec"] / lo["pairs_per_sec"], 2),
@@ -375,7 +393,9 @@ def main() -> None:
         )))
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir, args.n, args.repeats, args.scaling_sf)))
+        print(json.dumps(run_scaling(
+            args.sf_dir, args.n, args.repeats, args.scaling_sf, args.bucketed
+        )))
     elif args.single:
         print(json.dumps(run_full(args.sf_dir, args.cpus)))
     else:
