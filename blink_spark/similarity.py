@@ -394,6 +394,109 @@ def lsh_topk(emb: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+NND_ITERS = 2  # fixed NN-Descent refinement rounds (determinism first)
+
+
+def _rank_keep_topk(cand: DataFrame, emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """(src, dst) candidate edges → exact-cosine top-k per src:
+    (src, dst, cosine, rank). One shuffle on src for the window; the two
+    vector fetches are src/dst equi-joins (AQE picks broadcast vs
+    shuffle by size)."""
+    le = emb.select(F.col("vec_id").alias("src"), F.col("v").alias("_sv"))
+    re_ = emb.select(F.col("vec_id").alias("dst"), F.col("v").alias("_dv"))
+    cos = _dot(F.col("_sv"), F.col("_dv")) / (
+        _norm(F.col("_sv")) * _norm(F.col("_dv"))
+    )
+    scored = (
+        cand.join(le, "src").join(re_, "dst")
+        .select("src", "dst", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_graph(emb: DataFrame, k: int = TOP_K, iters: int = NND_ITERS) -> DataFrame:
+    """Approximate K-nearest-neighbor GRAPH over the whole corpus by
+    NN-Descent (Dong, Moses & Li, WWW'11) — the graph-based ANN family
+    (SURVEY J3's HNSW role) expressed as Spark joins:
+
+    - init: directed edges between vectors sharing any LSH band
+      (hyperplane sign bands — the same sublinear collision structure the
+      retrieval path uses), exact-cosine top-k kept per node;
+    - each refinement round: candidates(u) = the symmetrized neighbor set
+      B = fwd ∪ rev, plus its two-hop composition B∘B ("a neighbor of my
+      neighbor is likely my neighbor" — the NN-Descent principle), then
+      exact-cosine top-k again.
+
+    Scale shape: every round is two equi-joins + one window shuffle over
+    O(N·k²) candidate rows — never all-pairs; exactly the local-join
+    sparsity that makes NN-Descent the standard distributed KNN-graph
+    constructor. The iteration count is FIXED (not convergence-tested) so
+    the computation is deterministic and the DuckDB oracle can replay it
+    as unrolled CTEs."""
+    bands = _band_keys(emb, "vec_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    init = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    g = _rank_keep_topk(init, emb, k).select("src", "dst")
+    for _ in range(iters):
+        fwd = g.select("src", "dst")
+        rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        bi = fwd.unionByName(rev).distinct()
+        x, y = bi.alias("x"), bi.alias("y")
+        two_hop = (
+            x.join(y, F.col("x.dst") == F.col("y.src"))
+            .filter(F.col("x.src") != F.col("y.dst"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        cand = bi.unionByName(two_hop).distinct()
+        g = _rank_keep_topk(cand, emb, k).select("src", "dst")
+    return g
+
+
+def q_emb_knn_graph(spark, sf_dir):
+    """NN-Descent approximate KNN graph (see :func:`knn_graph`), emitted
+    with the exact cosine and rank per kept edge."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    g = knn_graph(emb)
+    out = _rank_keep_topk(g, emb)  # recompute cosine/rank for the output
+    return out.select(
+        F.col("src").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("dst").alias("neighbor_id"),
+        _r6("cosine", 6).alias("cosine"),
+    )
+
+
+def q_emb_knn_graph_recall(spark, sf_dir):
+    """Recall of the NN-Descent graph against the exact top-k baseline,
+    measured on the query sample (the corpus-scale discipline: the exact
+    all-pairs baseline is the diagnostic's cost, so it runs on a sample,
+    never the full corpus). One row: (k, n_nodes, recall)."""
+    emb, queries = _corpus_and_queries(spark, sf_dir)
+    g = knn_graph(emb).withColumn("_h", F.lit(1))
+    exact = _exact_topk(emb, queries).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return exact.join(g, ["src", "dst"], "left").agg(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        _r6(F.avg(F.coalesce(F.col("_h"), F.lit(0)).cast("double")), 6).alias(
+            "recall"
+        ),
+    )
+
+
 def q_emb_lsh_recall(spark, sf_dir):
     """Recall + scan fraction of the banded-LSH retrieval vs the exact
     top-k baseline (one row): an exact neighbor is retrieved iff any of
@@ -716,6 +819,86 @@ SELECT {N_BANDS}::BIGINT AS n_bands, {BAND_BITS}::BIGINT AS band_bits,
   round((SELECT count(*) FROM cand)::DOUBLE
         / ((SELECT count(*) FROM q) * (SELECT count(*) FROM e)), 6) + 0.0
     AS scan_frac"""
+
+    # NN-Descent KNN graph: the fixed-iteration refinement unrolled as
+    # CTE layers — init from the SAME band collisions lsh_cte exposes,
+    # then per round: symmetrize, compose two-hop, exact-cosine top-k.
+    def _nnd_keep(src_cte: str, out: str, with_cols: bool = False) -> str:
+        cos = (
+            "list_dot_product(es.v, ed.v) / (sqrt(list_dot_product(es.v, es.v))"
+            " * sqrt(list_dot_product(ed.v, ed.v)))"
+        )
+        cols = "src, dst, cosine, rk" if with_cols else "src, dst"
+        return f"""{out} AS (
+  SELECT {cols} FROM (
+    SELECT t.src, t.dst, {cos} AS cosine,
+      row_number() OVER (
+        PARTITION BY t.src ORDER BY {cos} DESC, t.dst ASC
+      ) AS rk
+    FROM {src_cte} t
+    JOIN e es ON es.vec_id = t.src
+    JOIN e ed ON ed.vec_id = t.dst
+  ) WHERE rk <= {TOP_K}
+)"""
+
+    nnd_parts = [
+        """init_cand AS (
+  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+  FROM ck a JOIN ck c ON a.j = c.j AND a.bv = c.bv
+  WHERE a.vec_id <> c.vec_id
+)""",
+        _nnd_keep("init_cand", "g0"),
+    ]
+    prev_g = "g0"
+    for i in range(1, NND_ITERS + 1):
+        nnd_parts.append(
+            f"""bi{i} AS (
+  SELECT src, dst FROM {prev_g}
+  UNION
+  SELECT dst, src FROM {prev_g}
+)"""
+        )
+        nnd_parts.append(
+            f"""cand{i} AS (
+  SELECT src, dst FROM bi{i}
+  UNION
+  SELECT x.src, y.dst FROM bi{i} x JOIN bi{i} y ON x.dst = y.src
+  WHERE x.src <> y.dst
+)"""
+        )
+        nnd_parts.append(_nnd_keep(f"cand{i}", f"g{i}"))
+        prev_g = f"g{i}"
+    nnd_chain = ",\n".join(nnd_parts)
+
+    sql["emb_knn_graph"] = lsh_cte + f""",
+{nnd_chain},
+{_nnd_keep(prev_g, "final", with_cols=True)}
+SELECT src AS vec_id, CAST(rk AS BIGINT) AS rank, dst AS neighbor_id,
+       (round(cosine, 6) + 0.0) AS cosine
+FROM final"""
+
+    sql["emb_knn_graph_recall"] = lsh_cte + f""",
+{nnd_chain},
+p0n AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+      AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+exactn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS rank FROM p0n
+  ) WHERE rank <= {TOP_K}
+)
+SELECT {TOP_K}::BIGINT AS k,
+  count(DISTINCT x.query_id)::BIGINT AS n_nodes,
+  round(avg(CASE WHEN g.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) + 0.0
+    AS recall
+FROM exactn x LEFT JOIN {prev_g} g
+  ON g.src = x.query_id AND g.dst = x.neighbor_id"""
 
     sql["emb_label_centroids"] = """
 SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
@@ -1091,4 +1274,6 @@ QUERIES = {
     "emb_int8_recall": q_emb_int8_recall,
     "emb_dim_truncation": q_emb_dim_truncation,
     "emb_label_separability": q_emb_label_separability,
+    "emb_knn_graph": q_emb_knn_graph,
+    "emb_knn_graph_recall": q_emb_knn_graph_recall,
 }

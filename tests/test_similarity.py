@@ -166,6 +166,41 @@ def test_trained_quantizer_beats_seeded_on_misaligned_clusters(spark):
     assert fit[4][0] >= seeded[4][0], (fit, seeded)
 
 
+def test_knn_graph_recall_high_on_clusters_and_plan_is_joins(spark):
+    """NN-Descent KNN graph (2 fixed rounds from LSH-band init): ≥0.95
+    recall@5 on the misaligned clustered corpus (vs 0.592 on the isotropic
+    driver table — BASELINE.md carries both), and the construction must be
+    equi-joins — no CartesianProduct anywhere in the plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(123)
+    centers = rng.randn(10, similarity.EMB_DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for k in range(len(centers)):
+        for p in centers[k][None, :] + 0.08 * rng.randn(40, similarity.EMB_DIM):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>").persist()
+    queries = emb.filter("vec_id % 20 = 0").selectExpr(
+        "vec_id as query_id", "v as q"
+    )
+    g = similarity.knn_graph(emb)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exact = similarity._exact_topk(emb, queries).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    hit = g.withColumn("_h", F.lit(1))
+    row = (
+        exact.join(hit, ["src", "dst"], "left")
+        .agg(F.avg(F.coalesce(F.col("_h"), F.lit(0)).cast("double")).alias("r"))
+        .collect()[0]
+    )
+    assert row["r"] >= 0.95, row["r"]
+
+
 def test_lsh_recall_improves_on_clustered_corpus(spark):
     """Banded hyperplane LSH on the clustered corpus: ≥0.85 recall while
     scanning <30% (vs ~0.46 on the isotropic driver table) — clustered data
