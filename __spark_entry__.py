@@ -34,48 +34,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS check records only the first 50 entries of
-# ``queries()`` in insertion order.  Rounds 1-3 burned that window on the
-# long-green ``er_*``/``relational`` families, so the queries below (every
-# ``media_*``, plus the doc/emb/evt/sql additions since round 2) have never
-# received a driver row.  Lead with them this round; the rotated-out
-# ``er_*`` rows stay green under tests/test_entry_contract.py, which runs
-# the identical Spark-vs-DuckDB hash compare over the full surface.
-# ROUND-5 ROTATION: once CORRECTNESS_r04 records these 50, replace this
-# list with [er_string_panel_word (new in r4, lands beyond the window)] +
-# the 19 queries whose only driver row is r02 (emb_knn, emb_lsh_buckets,
-# doc_exact_dedup, evt_sessionize, ... — diff r02 keys against r03/r04) so
-# every query has a round-recent driver row.
-_R4_PRIORITY = [
-    # round-2 `err` regressions, fixed in r3, never re-checked green
-    "media_metadata", "media_image_features", "media_audio_features",
-    "media_frame_sample",
-    # doc_* never driver-checked
-    "doc_ngram_jaccard", "doc_tfidf_top_terms", "doc_stratified_sample",
-    "doc_canonical_pick", "doc_repetition", "doc_line_dedup",
-    "doc_decontamination", "doc_pii_census", "doc_trigram_logprob",
-    "doc_mixture_allocation", "doc_bm25_search", "doc_lang_source_pivot",
-    "doc_chunk_sliding", "doc_pack_sequences", "doc_lsh_band_tuning",
-    "doc_winnow_clone_pairs", "doc_bpe_merges",
-    # emb_* never driver-checked
-    "emb_lsh_topk", "emb_lsh_recall", "emb_int8_topk", "emb_int8_recall",
-    "emb_dim_truncation", "emb_label_separability",
-    # evt_* never driver-checked
-    "evt_value_quantiles", "evt_anomaly", "evt_stream_windowed",
-    "evt_stream_sessionize", "evt_sketch_accuracy", "evt_zorder_key",
-    "evt_props_extract", "evt_funnel", "evt_rolling_window",
-    "evt_stream_stream_join", "evt_stream_dedup", "evt_retention_cohorts",
-    # sql_* never driver-checked
-    "sql_promo_share", "sql_small_qty_revenue", "sql_top_supplier",
-    "sql_big_orders", "sql_rollup_cube", "sql_order_count_distribution",
-    "sql_supplier_variety", "sql_late_sole_supplier",
-    "sql_rich_idle_customers", "sql_constraint_audit",
-    # new this round (Q2-shaped correlated-min) — 50th slot
-    "sql_min_cost_supplier",
+# ``queries()`` in insertion order.  The round-5 window leads with the 22
+# queries that lacked a round-recent driver row after CORRECTNESS_r04:
+# the 3 never driver-checked (er_string_panel_word / emb_knn_graph /
+# emb_knn_graph_recall) and the 19 whose only driver row was r02-era
+# (CORRECTNESS_r02 keys minus r03/r04).  The remaining 28 slots refresh
+# the core ER pipeline + evaluation chain from the r03 window, so after
+# this round every query's most recent driver row is at most one round
+# old.  Rotated-out rows stay green under tests/test_entry_contract.py
+# and tools/oracle_sweep.py, which run the identical Spark-vs-DuckDB
+# hash compare over the full 122-query surface.
+_R5_PRIORITY = [
+    # never driver-checked (added in r4 beyond the window)
+    "er_string_panel_word", "emb_knn_graph", "emb_knn_graph_recall",
+    # only driver row is r02-era: doc_* dedup/quality family
+    "doc_exact_dedup", "doc_dup_clusters", "doc_near_dup_pairs",
+    "doc_simhash", "doc_emb_near_dup", "doc_winnow_fingerprints",
+    "doc_langid", "doc_quality", "doc_token_stats",
+    # only driver row is r02-era: emb_* similarity family
+    "emb_knn", "emb_ann_topk", "emb_ann_recall", "emb_lsh_buckets",
+    "emb_label_centroids", "emb_label_medoid",
+    # only driver row is r02-era: evt_* family
+    "evt_asof_join", "evt_daily_rollup", "evt_sessionize",
+    "evt_windowed_rollup",
+    # refresh (last row r03): core record-linkage chain
+    "er_ingest", "er_sha_edges", "er_candidate_pairs", "er_scored_pairs",
+    "er_match_edges", "er_clusters", "er_incremental_clusters",
+    "er_threshold_clusters", "er_golden_record", "er_one_to_one",
+    # refresh (last row r03): blocking diagnostics
+    "er_block_membership", "er_block_census", "er_blocking_rules",
+    "er_blocking_recall", "er_reduction_ratio",
+    # refresh (last row r03): evaluation / diagnostics
+    "er_confusion", "er_recall_curve", "er_rank_of_gold", "er_node_stats",
+    "er_review_queue", "er_roc_curve", "er_score_hist",
+    "er_cluster_sizes", "er_cluster_mode_lang", "er_pagerank",
+    "er_triangles", "er_string_panel",
+    # refresh (last row r03): relational representative
+    "sql_pricing_summary",
 ]
 
 
 def _prioritized(full: dict) -> dict:
-    out = {k: full[k] for k in _R4_PRIORITY if k in full}
+    out = {k: full[k] for k in _R5_PRIORITY if k in full}
     out.update({k: v for k, v in full.items() if k not in out})
     return out
 

@@ -238,11 +238,14 @@ def _scoring_throughput(
     # the timed window — a fixed serial bias against the high level.
     # Workers are reused (spark.python.worker.reuse), so the timed stage
     # runs against warm interpreters at BOTH levels.
+    # Aggregate over the UDF column (not a bare count(), which lets
+    # Catalyst prune the UDF projection and fork zero workers).
     warm = (
         spark.range(0, cpus, 1, cpus)
         .select(scoring.panel_udf(F.lit("warm"), F.lit("ware")).alias("p"))
     )
-    warm.count()
+    n_warm = warm.agg(F.count("p")).collect()[0][0]
+    assert n_warm == cpus, f"pre-warm ran {n_warm}/{cpus} UDF rows"
 
     t0 = time.monotonic()
     # aggregate over match_p so Catalyst cannot prune the feature columns —

@@ -376,14 +376,21 @@ def sorensen_word_sim(a: str, b: str) -> float:
 
 
 def overlap_word_sim(a: str, b: str) -> float:
+    """Degenerate inputs follow textdistance's quick_answer: 1.0 only
+    when BOTH token lists are empty, 0.0 when exactly one is."""
     inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
+    if la == 0 and lb == 0:
+        return 1.0
     mn = min(la, lb)
-    return inter / mn if mn else 1.0
+    return inter / mn if mn else 0.0
 
 
 def cosine_word_sim(a: str, b: str) -> float:
+    """Same quick_answer sentinels as :func:`overlap_word_sim`."""
     inter, la, lb = _wcounts(_wtokens(a), _wtokens(b))
-    return inter / math.sqrt(la * lb) if la and lb else 1.0
+    if la == 0 and lb == 0:
+        return 1.0
+    return inter / math.sqrt(la * lb) if la and lb else 0.0
 
 
 def monge_elkan_word(a: str, b: str) -> float:
@@ -456,7 +463,8 @@ def sql_overlap_word(a: str, b: str) -> str:
     ta, tb = _sql_wtok(a), _sql_wtok(b)
     inter = _sql_winter(ta, tb)
     return (
-        f"(CASE WHEN least(len({ta}), len({tb})) = 0 THEN 1.0 "
+        f"(CASE WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+        f"WHEN least(len({ta}), len({tb})) = 0 THEN 0.0 "
         f"ELSE CAST({inter} AS DOUBLE) / least(len({ta}), len({tb})) END)"
     )
 
@@ -465,7 +473,8 @@ def sql_cosine_word(a: str, b: str) -> str:
     ta, tb = _sql_wtok(a), _sql_wtok(b)
     inter = _sql_winter(ta, tb)
     return (
-        f"(CASE WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 1.0 "
+        f"(CASE WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0 "
+        f"WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0 "
         f"ELSE CAST({inter} AS DOUBLE) / sqrt(CAST(len({ta}) AS DOUBLE) * len({tb})) END)"
     )
 

@@ -324,3 +324,14 @@ def test_identity_and_bounds(fn, a, b):
         assert ident == 0.0  # jaro convention: any empty side → 0
     else:
         assert math.isclose(ident, 1.0, abs_tol=1e-12), (fn, pa, ident)
+
+
+def test_word_panel_degenerate_sentinels():
+    """textdistance quick_answer fidelity (ADVICE r4): both-empty → 1.0,
+    exactly-one-empty → 0.0, for every multiset word kernel."""
+    for fn in ("jaccard_word_sim", "sorensen_word_sim",
+               "overlap_word_sim", "cosine_word_sim"):
+        f = getattr(strdist, fn)
+        assert f("", "") == 1.0, fn
+        assert f("", "abc def") == 0.0, fn
+        assert f("abc def", "") == 0.0, fn
