@@ -301,18 +301,37 @@ def unlink_batch(
     )
 
 
+# Above this member count the medoid is computed over a deterministic
+# sample (documented approximation).  2,048² float64 distances ≈ 33 MB —
+# bounded per Python worker regardless of cluster size; without the cap a
+# 10^6-member boilerplate mega-cluster would demand a 10^12-cell matrix.
+MEDOID_SAMPLE_CAP = 2048
+
+
 def cluster_representatives(
-    features: DataFrame, clusters: DataFrame, mode: str = "medoid"
+    features: DataFrame,
+    clusters: DataFrame,
+    mode: str = "medoid",
+    sample_cap: int = MEDOID_SAMPLE_CAP,
 ) -> DataFrame:
-    """One feature row per cluster — the cluster's index entry.
+    """The cluster's index entry (entries, for ``all``).
 
     ``medoid``: member minimizing summed euclidean distance to the other
     members' embeddings (KMedoids(n_clusters=1) over cluster encodings,
     ``scripts/kbp_simulation.py:45-46``/``:227-251``), ties broken by min
-    file_id. ``first``: min file_id (O(n), no pairwise work).
-    Returns FEATURE_COLS + cluster_id.
+    file_id. Clusters larger than ``sample_cap`` use the medoid of a
+    deterministic pseudo-random sample (members ordered by blake2b of
+    file_id — engine- and partitioning-invariant) so the pairwise matrix
+    stays O(cap²) per worker; the exact medoid of a mega-cluster of
+    near-duplicates differs negligibly from the sample medoid.
+    ``first``: min file_id (O(n), no pairwise work). ``all``: every
+    member is its cluster's entry (the reference default —
+    ``scripts/kbp_simulation.py:227-251`` indexes all encodings unless
+    ``--medoid`` opts in). Returns FEATURE_COLS + cluster_id.
     """
     joined = features.join(clusters, "file_id")
+    if mode == "all":
+        return joined
     if mode == "first":
         from pyspark.sql.window import Window
 
@@ -325,10 +344,23 @@ def cluster_representatives(
     if mode != "medoid":
         raise ValueError(f"unknown representative mode {mode!r}")
 
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
     def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > sample_cap:
+            order = np.argsort(
+                [
+                    hashlib.blake2b(
+                        fid.encode(), digest_size=8, key=b"medoid-cap"
+                    ).digest()
+                    for fid in pdf["file_id"]
+                ],
+                kind="stable",
+            )
+            pdf = pdf.iloc[order[:sample_cap]]
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         sq = (m * m).sum(axis=1)
         d2 = sq[:, None] + sq[None, :] - 2.0 * (m @ m.T)
@@ -356,7 +388,17 @@ def compact_state(state: LinkState, mode: str = "medoid") -> LinkState:
     assignment) are kept untouched; only the feature index shrinks.
     Tradeoff (documented): a future row can now only link to a cluster via
     its representative's blocks/features.
+
+    ``mode="all"`` is the identity on features (every member stays an
+    index entry) — the reference's default representation, kept so the
+    medoid-vs-all A/B (``er_kbp_relink``) runs both arms through the same
+    code path.
     """
+    if mode == "all":
+        return LinkState(
+            features=state.features.select(*FEATURE_COLS),
+            clusters=state.clusters,
+        )
     reps = cluster_representatives(state.features, state.clusters, mode)
     return LinkState(features=reps.select(*FEATURE_COLS), clusters=state.clusters)
 

@@ -195,6 +195,113 @@ def test_cluster_representatives_column_contract(spark):
     )
 
 
+def test_medoid_sample_cap_bounded_and_deterministic(spark):
+    """A 10k-member cluster must not build a 10k×10k matrix: above
+    MEDOID_SAMPLE_CAP the picker takes the medoid of a deterministic
+    blake2b-ordered sample (VERDICT r4 scale-hazard #1). Pin the exact
+    semantics with an independent pure-python replication, and exactness
+    below the cap."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 10_000
+    ids = [f"f{i:05d}" for i in range(n)]
+    emb = rng.normal(size=(n, 8)).astype("float32")
+    feats = spark.createDataFrame(
+        [(ids[i], emb[i].tolist()) for i in range(n)],
+        "file_id string, embedding array<float>",
+    )
+    clusters = spark.createDataFrame(
+        [(i, "c0") for i in ids], "file_id string, cluster_id string"
+    )
+    got = incremental.cluster_representatives(feats, clusters, mode="medoid")
+    picked = [r["file_id"] for r in got.select("file_id").collect()]
+    assert len(picked) == 1
+
+    # independent replication of the documented approximation
+    keys = [
+        hashlib.blake2b(i.encode(), digest_size=8, key=b"medoid-cap").digest()
+        for i in ids
+    ]
+    order = sorted(range(n), key=lambda k: keys[k])
+    take = order[: incremental.MEDOID_SAMPLE_CAP]
+    m = emb[take].astype(np.float64)
+    d = np.sqrt(
+        np.maximum(
+            (m * m).sum(1)[:, None] + (m * m).sum(1)[None, :] - 2 * m @ m.T, 0
+        )
+    ).sum(1)
+    cand = [ids[take[j]] for j in np.flatnonzero(np.isclose(d, d.min(), rtol=0, atol=1e-9))]
+    assert picked[0] == min(cand)
+
+    # determinism across runs (partitioning-independent)
+    again = [
+        r["file_id"]
+        for r in incremental.cluster_representatives(
+            feats.repartition(13), clusters, mode="medoid"
+        ).select("file_id").collect()
+    ]
+    assert again == picked
+
+    # below the cap the medoid is exact
+    small = 100
+    sm = emb[:small].astype(np.float64)
+    d_small = np.sqrt(
+        np.maximum(
+            (sm * sm).sum(1)[:, None] + (sm * sm).sum(1)[None, :] - 2 * sm @ sm.T,
+            0,
+        )
+    ).sum(1)
+    exact = ids[int(d_small.argmin())]
+    got_small = incremental.cluster_representatives(
+        feats.filter(F.col("file_id") < f"f{small:05d}"), clusters, mode="medoid"
+    ).select("file_id").collect()
+    assert [r["file_id"] for r in got_small] == [exact]
+
+
+def test_compact_state_all_is_identity(spark):
+    """The reference's default representation keeps EVERY member's
+    encoding in the index (kbp_simulation.py:227-251; --medoid is
+    opt-in): compact_state(mode='all') must be the identity on
+    features and clusters."""
+    src = (
+        spark.read.parquet(ensure_fixture(0.001))
+        .orderBy("repo", "path", "commit")
+        .limit(120)
+    )
+    s = incremental.link_batch(None, src).persist()
+    allc = incremental.compact_state(s, mode="all")
+    assert allc.features.columns == incremental.FEATURE_COLS
+    assert sorted(
+        r["file_id"] for r in allc.features.select("file_id").collect()
+    ) == sorted(r["file_id"] for r in s.features.select("file_id").collect())
+    assert _canon(allc.clusters) == _canon(s.clusters)
+    # cluster_representatives(mode='all') exposes the same surface with
+    # cluster_id attached — one entry PER MEMBER, not per cluster
+    reps = incremental.cluster_representatives(s.features, s.clusters, mode="all")
+    assert sorted(reps.columns) == sorted([*incremental.FEATURE_COLS, "cluster_id"])
+    assert reps.count() == s.features.count()
+
+
+def test_link_after_compact_all_equals_uncompacted(spark):
+    """Link-after-compact equivalence in 'all' mode: since the features
+    table is untouched, a later batch must cluster exactly as it would
+    against the uncompacted state (the medoid arm of this property is
+    test_links_to_grown_cluster_via_representative)."""
+    src = spark.read.parquet(ensure_fixture(0.001)).persist()
+    b1 = src.filter(F.pmod(F.xxhash64("commit"), F.lit(2)) == 0).persist()
+    b2 = src.filter(F.pmod(F.xxhash64("commit"), F.lit(2)) == 1).persist()
+    s1 = incremental.link_batch(None, b1).persist()
+    s1.features.count(), s1.clusters.count()
+    direct = incremental.link_batch(s1, b2)
+    via_all = incremental.link_batch(
+        incremental.compact_state(s1, mode="all").persist(), b2
+    )
+    assert _canon(via_all.clusters) == _canon(direct.clusters)
+
+
 def test_snapshot_link_store_resumes_across_restart(spark, tmp_path):
     """KBP state as snapshot tables: batch 1 committed, process 'restarts'
     (fresh StageWriter over the same dir), batch 2 linked from the LOADED
