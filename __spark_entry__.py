@@ -69,8 +69,8 @@ _R5_PRIORITY = [
     "er_review_queue", "er_roc_curve", "er_score_hist",
     "er_cluster_sizes", "er_cluster_mode_lang", "er_pagerank",
     "er_triangles", "er_string_panel",
-    # refresh (last row r03): relational representative
-    "sql_pricing_summary",
+    # new this round (medoid-vs-all KBP re-link A/B) — 50th slot
+    "er_kbp_relink",
 ]
 
 

@@ -1559,6 +1559,23 @@ def q_incremental_clusters(spark, sf_dir):
 _UNLINK_WHERE = "WHERE substr(sha256(path), 1, 1) NOT IN ('0', '1')"
 
 
+def _link_state_features(spark, sf_dir):
+    """Full-corpus LinkState.features assembled from the harness's shared
+    cached stages: band_keys etc. from the signature stage, the embedding
+    from the feature stage — a thin key join, no kernel rerun."""
+    from blink_spark import incremental
+
+    return _cached(
+        spark, sf_dir, "link_state_features",
+        lambda: _with_sig(spark, sf_dir)
+        .select([c for c in incremental.FEATURE_COLS if c != "embedding"])
+        .join(
+            _features(spark, sf_dir).select("file_id", "embedding"),
+            "file_id",
+        ),
+    )
+
+
 def q_unlink_clusters(spark, sf_dir):
     """Retraction under the hard oracle gate (the inverse of
     ``q_incremental_clusters``): link the FULL corpus, then
@@ -1585,23 +1602,141 @@ def q_unlink_clusters(spark, sf_dir):
     from blink_spark import incremental
 
     state = incremental.LinkState(
-        features=_cached(
-            spark, sf_dir, "link_state_features",
-            # band_keys etc. from the signature stage, the embedding from
-            # the feature stage — a thin key join, no kernel rerun
-            lambda: _with_sig(spark, sf_dir)
-            .select([c for c in incremental.FEATURE_COLS if c != "embedding"])
-            .join(
-                _features(spark, sf_dir).select("file_id", "embedding"),
-                "file_id",
-            ),
-        ),
+        features=_link_state_features(spark, sf_dir),
         clusters=_clusters(spark, sf_dir),
     )
     src = load_source(spark, sf_dir)
     is_del = F.substring(F.sha2(F.col("path"), 256), 1, 1).isin("0", "1")
     del_ids = ingest.ingest(src.filter(is_del)).select("file_id")
     return incremental.unlink_batch(state, del_ids).clusters
+
+
+# KBP re-link A/B: recall grid and the deterministic ~1/8 holdout split
+# (rows whose sha256(path) starts with 'e'/'f' are held-out "mentions";
+# the rest is the base KB). The oracle mirrors both constants.
+KBP_K_GRID = [1, 2, 4, 8, 16]
+_KBP_HOLDOUT_HEX = ("e", "f")
+
+
+def q_kbp_relink(spark, sf_dir):
+    """Representation re-link A/B — the reference KBP experiment
+    (``scripts/kbp_simulation.py:316-366,439-486``): build the KB state
+    over the base split, compact it under BOTH representations (``all`` —
+    every member encoding stays indexed, the reference default — vs
+    ``medoid``, its ``--medoid`` opt-in), re-link the held-out mentions
+    against each index, and report recall@k per mode.
+
+    A mention's candidates are the index entries sharing a blocking key
+    (composite (lang, path_stem) key or a MinHash-LSH band — the same
+    retrieve stage as the pipeline), scored with the full pairwise
+    kernel and ranked by match_p desc / entry_id asc.  A mention counts
+    as recalled at k iff some entry of its gold entity ranks ≤ k; the
+    denominator is every *linkable* mention (gold entity has ≥1 base
+    row), including mentions with zero candidates.  Output:
+    (mode, k, n_mentions, n_hit, recall, n_entries, n_pairs) — the
+    medoid-vs-all tradeoff is recall per retrieval cost: on near-dup
+    corpora both arms saturate recall, and the A/B signal is the index
+    size (n_entries) and scored-candidate volume (n_pairs) the ``all``
+    representation pays for it (the reference's finding that medoid
+    encodings keep accuracy at a fraction of the index,
+    ``scripts/kbp_simulation.py:439-486``).
+
+    The whole decision chain is deterministic, so the DuckDB oracle
+    replays it end-to-end (base closure via the node-restricted CTE
+    chain, medoid per cluster, block-join retrieve, match_p rank).
+    The medoid sample cap (``incremental.MEDOID_SAMPLE_CAP``) never
+    binds at oracle scale, so the oracle needs no cap arm."""
+    from blink_spark import incremental
+
+    feats = _link_state_features(spark, sf_dir)
+    gold = _ingested(spark, sf_dir).select("file_id", "gold_cluster")
+    hold = F.substring(F.sha2(F.col("path"), 256), 1, 1).isin(
+        *_KBP_HOLDOUT_HEX
+    )
+    base_feat = feats.filter(~hold)
+    hold_feat = feats.filter(hold)
+    base_state = incremental.link_features(None, base_feat)
+    base_state.clusters.persist()
+
+    ment_memb = blocking.block_membership(
+        hold_feat.select("file_id", "lang", "path_stem", "band_keys")
+    )
+    base_gold_clusters = (
+        gold.join(base_feat.select("file_id"), "file_id")
+        .select("gold_cluster")
+        .distinct()
+    )
+    linkable = (
+        hold_feat.select("file_id")
+        .join(gold, "file_id")
+        .join(base_gold_clusters, "gold_cluster", "left_semi")
+        .select(F.col("file_id").alias("mention_id"))
+    )
+    grid = spark.createDataFrame([(k,) for k in KBP_K_GRID], "k int")
+    gm = gold.select(
+        F.col("file_id").alias("left_id"), F.col("gold_cluster").alias("g_m")
+    )
+    ge = gold.select(
+        F.col("file_id").alias("right_id"), F.col("gold_cluster").alias("g_e")
+    )
+
+    out = None
+    for mode in ("medoid", "all"):
+        idx = incremental.cluster_representatives(
+            base_state.features, base_state.clusters, mode
+        )
+        idx_memb = blocking.block_membership(
+            idx.select("file_id", "lang", "path_stem", "band_keys")
+        ).withColumnRenamed("file_id", "entry_id")
+        pairs = (
+            ment_memb.join(idx_memb, "block_key")
+            .select(
+                F.col("file_id").alias("left_id"),
+                F.col("entry_id").alias("right_id"),
+            )
+            .distinct()
+            .withColumn("block_key", F.lit("kbp"))
+            .withColumn("salt", F.lit(0))
+        )
+        # per-mode retrieval-cost scalars (single-row broadcast aggregates)
+        ecount = idx.agg(F.count("*").cast("long").alias("n_entries"))
+        pcount = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+        scored = scoring.score_pairs(pairs, feats)
+        w = Window.partitionBy("left_id").orderBy(
+            F.desc("match_p"), F.asc("right_id")
+        )
+        ranked = scored.withColumn("rk", F.row_number().over(w))
+        gold_rank = (
+            ranked.join(gm, "left_id")
+            .join(ge, "right_id")
+            .filter(F.col("g_m") == F.col("g_e"))
+            .groupBy(F.col("left_id").alias("mention_id"))
+            .agg(F.min("rk").alias("gold_rank"))
+        )
+        res = (
+            linkable.join(gold_rank, "mention_id", "left")
+            .crossJoin(F.broadcast(grid))
+            .groupBy("k")
+            .agg(
+                F.count("*").cast("long").alias("n_mentions"),
+                F.sum(
+                    F.when(F.col("gold_rank") <= F.col("k"), 1).otherwise(0)
+                ).cast("long").alias("n_hit"),
+            )
+            .crossJoin(F.broadcast(ecount))
+            .crossJoin(F.broadcast(pcount))
+            .select(
+                F.lit(mode).alias("mode"),
+                F.col("k").cast("long").alias("k"),
+                "n_mentions",
+                "n_hit",
+                _r6(F.col("n_hit") / F.col("n_mentions"), 6).alias("recall"),
+                "n_entries",
+                "n_pairs",
+            )
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
 def q_cdc_clusters(spark, sf_dir):
@@ -2167,12 +2302,15 @@ def q_meta_blocking(spark, sf_dir):
 # Oracle SQL (DuckDB) — the independent recomputation
 # ---------------------------------------------------------------------------
 
-def _cte_chain(sf: float, src_where: str = "") -> str:
+def _cte_chain(sf: float, src_where: str = "", node_where: str = "") -> str:
     """WITH-chain recomputing every stage in DuckDB over the same parquet.
 
     ``src_where`` optionally restricts the source rows (used by the
     retraction oracle, which must recompute the closure over the REDUCED
-    corpus)."""
+    corpus).  ``node_where`` restricts only the LINKED node set (reps,
+    sha edges, closure init) while the per-row CTEs (ing/bands/feat) stay
+    corpus-wide — the KBP re-link oracle clusters the base split but
+    still needs holdout rows' signatures/features for the mention side."""
     from blink_spark.fixtures import fixture_path
 
     toks = minhash.sql_tokens("content")
@@ -2209,6 +2347,7 @@ bands AS (
 ),
 reps AS (
   SELECT * FROM bands
+  {node_where}
   QUALIFY row_number() OVER (PARTITION BY content_sha ORDER BY file_id) = 1
 ),
 memb AS (
@@ -2269,6 +2408,7 @@ sha_edges AS (
     SELECT min(file_id) OVER (PARTITION BY content_sha) AS left_id,
            file_id AS right_id
     FROM ing
+    {node_where}
   ) WHERE left_id <> right_id
 ),
 match_edges AS (
@@ -2283,6 +2423,7 @@ sym AS (
 ),
 walk(node, lbl) AS (
   SELECT file_id, file_id FROM ing
+  {node_where}
   UNION
   SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node
 ),
@@ -2968,6 +3109,18 @@ def oracle_sqls(sf: float = ORACLE_SF) -> dict[str, str]:
     cu = _cte_chain(sf, _UNLINK_WHERE).replace(
         "WITH src AS", "WITH RECURSIVE src AS", 1
     )
+    # KBP re-link chain: per-row CTEs corpus-wide, linked node set (reps /
+    # sha edges / closure) restricted to the base split — mirrors
+    # q_kbp_relink's link_features(None, base_features)
+    hold_hex = ", ".join(f"'{h}'" for h in _KBP_HOLDOUT_HEX)
+    ckbp = _cte_chain(
+        sf,
+        node_where=f"WHERE substr(sha256(path), 1, 1) NOT IN ({hold_hex})",
+    ).replace("WITH src AS", "WITH RECURSIVE src AS", 1)
+    kbp_match_p = scoring.sql_match_p(
+        "cosine", "jaccard_sh", "jw_path", "lev_path", "exact_sha"
+    )
+    kbp_ks = ", ".join(str(k) for k in KBP_K_GRID)
     return {
         "er_ingest": c
         + "SELECT file_id, content_sha, lang, path_stem, n_tokens FROM ing",
@@ -3073,6 +3226,118 @@ WHERE s.n >= 2""",
         # published state must match the identical reduced-corpus closure
         "er_cdc_clusters": cu
         + "SELECT file_id, cluster_id FROM clusters",
+        # medoid-vs-all representation A/B: base-split closure (node-
+        # restricted chain), per-cluster medoid (same ±1e-9 argmin pattern
+        # as emb_label_medoid), block-join retrieve of holdout mentions
+        # against each index, match_p rank, recall@k per mode
+        "er_kbp_relink": ckbp
+        + f""", gold AS (SELECT file_id, gold_cluster FROM ing),
+h AS (SELECT * FROM bands WHERE substr(sha256(path), 1, 1) IN ({hold_hex})),
+bm AS (SELECT file_id, cluster_id FROM clusters),
+mcost AS (
+  SELECT a.cluster_id, a.file_id,
+         sum(sqrt(greatest(
+           list_dot_product(fa.embedding, fa.embedding)
+           + list_dot_product(fb.embedding, fb.embedding)
+           - 2.0 * list_dot_product(fa.embedding, fb.embedding), 0.0))) AS cost
+  FROM bm a JOIN bm b ON a.cluster_id = b.cluster_id
+  JOIN feat fa ON a.file_id = fa.file_id
+  JOIN feat fb ON b.file_id = fb.file_id
+  GROUP BY 1, 2
+),
+mbest AS (SELECT cluster_id, min(cost) AS mc FROM mcost GROUP BY 1),
+medoid AS (
+  SELECT c.cluster_id, min(c.file_id) AS file_id
+  FROM mcost c JOIN mbest b
+    ON c.cluster_id = b.cluster_id AND abs(c.cost - b.mc) <= 1e-9
+  GROUP BY 1
+),
+idx AS (
+  SELECT 'medoid' AS mode, file_id FROM medoid
+  UNION ALL
+  SELECT 'all' AS mode, file_id FROM bm
+),
+ment_memb AS (
+  SELECT file_id, 'ck:' || lang || ':' || path_stem AS block_key FROM h
+  UNION ALL
+  SELECT file_id, unnest(band_keys) AS block_key FROM h
+),
+idx_memb AS (
+  SELECT i.mode, i.file_id AS entry_id,
+         'ck:' || b.lang || ':' || b.path_stem AS block_key
+  FROM idx i JOIN bands b USING (file_id)
+  UNION ALL
+  SELECT i.mode, i.file_id AS entry_id, unnest(b.band_keys) AS block_key
+  FROM idx i JOIN bands b USING (file_id)
+),
+cand AS (
+  SELECT DISTINCT e.mode, m.file_id AS mention_id, e.entry_id
+  FROM ment_memb m JOIN idx_memb e USING (block_key)
+),
+kraw AS (
+  SELECT c.mode, c.mention_id, c.entry_id,
+         lf.content_sha = rf.content_sha AS exact_sha,
+         list_dot_product(lf.embedding, rf.embedding) AS cosine,
+         CAST(len(list_intersect(lf.sh_hashes, rf.sh_hashes)) AS DOUBLE) AS inter,
+         CAST(len(lf.sh_hashes) AS DOUBLE) AS la,
+         CAST(len(rf.sh_hashes) AS DOUBLE) AS lb,
+         jaro_winkler_similarity(lf.base, rf.base) AS jw_path,
+         1.0 - CAST(levenshtein(regexp_replace(lf.fpath, '[^ -~]', '?', 'g'),
+                                regexp_replace(rf.fpath, '[^ -~]', '?', 'g')) AS DOUBLE)
+             / greatest(len(regexp_replace(lf.fpath, '[^ -~]', '?', 'g')),
+                        len(regexp_replace(rf.fpath, '[^ -~]', '?', 'g'))) AS lev_path
+  FROM cand c
+  JOIN feat lf ON c.mention_id = lf.file_id
+  JOIN feat rf ON c.entry_id = rf.file_id
+),
+kj AS (
+  SELECT *, CASE WHEN la + lb - inter > 0 THEN inter / (la + lb - inter)
+                 ELSE 0.0 END AS jaccard_sh
+  FROM kraw
+),
+kp AS (SELECT *, {kbp_match_p} AS match_p FROM kj),
+ranked AS (
+  SELECT mode, mention_id, entry_id, match_p,
+         row_number() OVER (PARTITION BY mode, mention_id
+                            ORDER BY match_p DESC, entry_id ASC) AS rk
+  FROM kp
+),
+grank AS (
+  SELECT r.mode, r.mention_id, min(r.rk) AS gold_rank
+  FROM ranked r
+  JOIN gold gm ON r.mention_id = gm.file_id
+  JOIN gold ge ON r.entry_id = ge.file_id
+   AND ge.gold_cluster = gm.gold_cluster
+  GROUP BY 1, 2
+),
+linkable AS (
+  SELECT h.file_id AS mention_id
+  FROM h JOIN gold gm ON h.file_id = gm.file_id
+  WHERE gm.gold_cluster IN (
+    SELECT gb.gold_cluster FROM bm JOIN gold gb ON bm.file_id = gb.file_id
+  )
+),
+cells AS (
+  SELECT md.mode, g.k, l.mention_id
+  FROM (SELECT 'medoid' AS mode UNION ALL SELECT 'all') md
+  CROSS JOIN (SELECT unnest([{kbp_ks}]) AS k) g
+  CROSS JOIN linkable l
+),
+ecnt AS (SELECT mode, CAST(count(*) AS BIGINT) AS n_entries FROM idx GROUP BY 1),
+pcnt AS (SELECT mode, CAST(count(*) AS BIGINT) AS n_pairs FROM cand GROUP BY 1)
+SELECT cl.mode, CAST(cl.k AS BIGINT) AS k,
+       count(*) AS n_mentions,
+       CAST(sum(CASE WHEN gr.gold_rank <= cl.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       (round(sum(CASE WHEN gr.gold_rank <= cl.k THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE), 6) + 0.0) AS recall,
+       coalesce(any_value(ec.n_entries), 0) AS n_entries,
+       coalesce(any_value(pc.n_pairs), 0) AS n_pairs
+FROM cells cl
+LEFT JOIN grank gr ON cl.mode = gr.mode AND cl.mention_id = gr.mention_id
+LEFT JOIN ecnt ec ON cl.mode = ec.mode
+LEFT JOIN pcnt pc ON cl.mode = pc.mode
+GROUP BY 1, 2""",
         "er_cluster_sizes": c
         + """SELECT n_members, count(*) AS n_clusters FROM (
                SELECT cluster_id, count(*) AS n_members
@@ -3319,6 +3584,7 @@ QUERIES = {
     "er_incremental_clusters": q_incremental_clusters,
     "er_unlink_clusters": q_unlink_clusters,
     "er_cdc_clusters": q_cdc_clusters,
+    "er_kbp_relink": q_kbp_relink,
     "er_cluster_sizes": q_cluster_sizes,
     "er_confusion": q_confusion,
     "er_block_census": q_block_census,
