@@ -109,6 +109,17 @@ def run_full(sf_dir: str, cpus: int) -> dict:
     features = scoring.with_embedding(with_sig).select(
         "file_id", "path", "content_sha", "shingle_hashes", "embedding"
     ).persist()
+    features.count()  # kernel runs once, inside the scoring timer as before
+    # Release the wide upstream caches BEFORE the O(pairs) join: ing holds
+    # content+tokens+shingles and with_sig the raw shingle strings — at
+    # sf>=0.25 they dominate the storage pool and evict the pair/feature
+    # blocks mid-join (the r3/r4 in-pipeline scoring-rate compression:
+    # 77.9k pairs/s vs 683k isolated at sf0.5). Downstream stages only
+    # need three thin columns of ing — keep those, drop the rest.
+    meta = ing.select("file_id", "content_sha", "gold_cluster").persist()
+    meta.count()
+    with_sig.unpersist(True)
+    ing.unpersist(True)
     scored = scoring.score_pairs(pairs, features)
     # persist only the thin projection downstream needs; caching the wide
     # scored table (ids + 6 feature columns × 3M rows) costs more than the
@@ -120,7 +131,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
 
     t0 = time.monotonic()
     clusters = clustering.connected_components_via_reps(
-        thresholded, blocking.rep_map(ing)
+        thresholded, blocking.rep_map(meta)
     ).persist()
     n_clusters = clusters.select("cluster_id").distinct().count()
     timings["clustering"] = time.monotonic() - t0
@@ -134,7 +145,7 @@ def run_full(sf_dir: str, cpus: int) -> dict:
         .groupBy("left_id", "right_id")
         .agg(F.min("block_key").alias("block_key"))
     )
-    labeled = evaluate.labeled_pairs(universe, ing.select("file_id", "gold_cluster"))
+    labeled = evaluate.labeled_pairs(universe, meta.select("file_id", "gold_cluster"))
     pred = evaluate.predicted_pair_labels(labeled, clusters)
     metrics = evaluate.pairwise_f1(pred)
     timings["evaluate"] = time.monotonic() - t0
@@ -339,6 +350,39 @@ def run_scaling(
     }
 
 
+def run_neardup(n_docs: int, n_boiler: int) -> dict:
+    """Standing bench row for the doc-dedup family: the capped+salted
+    banded near-dup path (production) vs the fat-payload uncapped band
+    join (pre-round-4) on the synthetic hot-band corpus — a regression
+    in ``blocking.banded_pairs`` surfaces here numerically, not just in
+    the plan-audit tests.  Each variant runs in a fresh JVM
+    (tools/neardup_ab.py discipline)."""
+    import subprocess
+
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "neardup_ab.py")
+    rows = {}
+    for v in ("new", "old"):
+        out = subprocess.run(
+            [sys.executable, tool, str(n_docs), str(n_boiler), v],
+            capture_output=True, text=True, check=True,
+        )
+        rows[v] = json.loads(out.stdout.strip().splitlines()[-1])
+    new, old = rows["new"], rows["old"]
+    return {
+        "metric": "neardup_banded",
+        "value": new["wall_s"],
+        "unit": "sec",
+        "n_docs": n_docs,
+        "n_boiler": n_boiler,
+        "n_pairs": new["n_pairs"],
+        "docs_per_sec": round(n_docs / new["wall_s"], 1),
+        "fat_uncapped_wall_s": old["wall_s"],
+        "speedup_vs_fat": round(old["wall_s"] / new["wall_s"], 2),
+        "pairs_agree": new["n_pairs"] == old["n_pairs"],
+    }
+
+
 def run_full_best_of(sf_dir: str, cpus: int, repeats: int) -> dict:
     """Best-of-N full-pipeline runs, each in a fresh python+JVM.
 
@@ -386,6 +430,11 @@ def main() -> None:
                          "bucketed sort-merge scoring path")
     ap.add_argument("--single", action="store_true",
                     help="internal: one full-pipeline run in THIS process")
+    ap.add_argument("--neardup", action="store_true",
+                    help="doc-dedup family row: banded near-dup path vs "
+                         "the fat uncapped band join on the hot-band corpus")
+    ap.add_argument("--neardup-docs", type=int, default=60_000)
+    ap.add_argument("--neardup-boiler", type=int, default=4_500)
     ap.add_argument("--parts", type=int, default=128)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -399,6 +448,8 @@ def main() -> None:
         print(json.dumps(run_scaling(
             args.sf_dir, args.n, args.repeats, args.scaling_sf, args.bucketed
         )))
+    elif args.neardup:
+        print(json.dumps(run_neardup(args.neardup_docs, args.neardup_boiler)))
     elif args.single:
         print(json.dumps(run_full(args.sf_dir, args.cpus)))
     else:

@@ -575,6 +575,30 @@ ANOM_MIN_HIST = 12  # minimum baseline buckets before a verdict
 ANOM_Z = 3.0
 
 
+_HOUR_US = 3_600_000_000
+
+
+def densify_hourly(hourly: DataFrame) -> DataFrame:
+    """Zero-fill the hourly census: one row per (event_type, hour) over
+    each type's [min, max] bucket span, n_events coalesced to 0.  Output
+    volume is types × hours (census-scale); the generated range rides a
+    broadcast-size per-type bounds table."""
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket_us").alias("__lo"), F.max("bucket_us").alias("__hi")
+    )
+    dense = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(_HOUR_US))
+        ).alias("bucket_us"),
+    )
+    return dense.join(hourly, ["event_type", "bucket_us"], "left").select(
+        "bucket_us",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume anomaly detection over the hourly rollup: per event type,
     each hour's count is z-scored against that type's TRAILING 24-bucket
@@ -590,15 +614,14 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on low-cardinality event_type with an O(1)-row frame.  A
     constant-volume baseline (stddev 0) z-scores to 0, never NaN.
 
-    Semantics note: the ROWS-based frame spans the 24 most recent
-    OBSERVED buckets — hours with zero events produce no census row, so
-    they are excluded from both the baseline (for a type that goes
-    silent, the baseline window covers more than 24 wall-clock hours)
-    and the verdicts (a zero-volume hour is never itself flagged).
-    Judging silence would require densifying the census per type
-    (``sequence`` over the bucket range, counts coalesced to 0) before
-    the window; this query deliberately judges observed volume only —
-    dead-stream detection is a liveness check, not a volume z-score."""
+    Silence is judged too: the census is DENSIFIED per type before the
+    window — ``sequence`` over the type's [min, max] bucket range,
+    counts coalesced to 0 — so an hour with zero events both enters the
+    trailing baseline as a real 0 and is itself z-scored (a stream that
+    goes silent inside its active span IS the on-call page).  The dense
+    frame therefore spans exactly 24 wall-clock hours.  Densify cost is
+    O(types × hours) — census-scale, not event-scale — and the range is
+    per-type, so a type's verdicts never extend past its own lifetime."""
     ev = load_events(spark, sf_dir)
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -607,6 +630,13 @@ def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_us_col("w.start").alias("bucket_us"), "event_type", "n_events"
         )
     )
+    return anomaly_verdicts(densify_hourly(hourly))
+
+
+def anomaly_verdicts(hourly: DataFrame) -> DataFrame:
+    """Trailing z-score verdicts over a (dense) hourly census —
+    (bucket_us, event_type, n_events) in, one verdict row per bucket
+    with ≥ ANOM_MIN_HIST baseline buckets out."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_us")
@@ -1088,10 +1118,23 @@ def oracle_sqls() -> dict[str, str]:
         for p in QUANTILE_PS
     )
     sql["evt_anomaly"] = f"""
-WITH hourly AS (
+WITH hourly0 AS (
   SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
          event_type, count(*) AS n_events
   FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+  FROM hourly0 GROUP BY 1
+),
+dense AS (
+  SELECT event_type, unnest(range(lo, hi + 1, {_HOUR_US})) AS bucket_us
+  FROM bounds
+),
+hourly AS (
+  SELECT d.bucket_us, d.event_type,
+         coalesce(h.n_events, 0) AS n_events
+  FROM dense d LEFT JOIN hourly0 h USING (event_type, bucket_us)
 ),
 win AS (
   SELECT bucket_us, event_type, n_events,

@@ -30,6 +30,14 @@ class PipelineConfig:
     match_tau: float = scoring.MATCH_TAU
     checkpoint_dir: str | None = None  # None → no persistence (in-memory run)
     run_id: str = "run0"
+    # Single-JVM scale guard (sf>=0.25 in-memory runs): eagerly
+    # materialize the feature index, then DROP the wide signatures cache
+    # (raw shingle strings + minhash sigs) before the O(pairs) scoring
+    # join — resident upstream caches otherwise evict the pair/feature
+    # blocks mid-join (measured: 77.9k vs 683k pairs/s at sf0.5).  The
+    # returned "signatures" table stays correct but recomputes on use.
+    # Checkpointed runs don't need this (stages live in parquet, not heap).
+    release_upstream: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -91,6 +99,9 @@ def run_pipeline(
             "file_id", "path", "content_sha", "shingle_hashes", "embedding"
         ),
     )
+    if conf.release_upstream and writer is None:
+        features.count()  # embedding kernel runs exactly once, to cache
+        with_sig.unpersist(True)
     scored = stage("scored_pairs", lambda: scoring.score_pairs(pairs, features))
 
     edges = stage(

@@ -84,6 +84,17 @@ def get_spark(
         # during localCheckpoint). 1 MiB keeps every diagnostic readable
         # and bounds the render cost.
         .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
+        # InferFiltersFromConstraints re-derives isnotnull() guards from a
+        # Filter's expression tree and pushes them into the joins BELOW it.
+        # For match_edges (threshold over scored pairs) that plants
+        # isnotnull(<full cosine zip_with + panel expression>) as residual
+        # join conditions evaluated per PRE-threshold row — measured 92.2s
+        # vs 21.3s for the identical threshold count over 19.3M pairs at
+        # sf0.25 (4.3x; the whole r3/r4 "in-pipeline scoring compression").
+        # Nothing in this workload needs inferred constraints: inputs are
+        # cached/parquet scans with explicit filters, joins are explicitly
+        # broadcast, and the rule never changes results — only plans.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # bucketed-table warehouse (scale path for the feature join); kept
         # out of the repo tree

@@ -550,9 +550,10 @@ def test_rolling_window_frame_bounds_inclusive(spark):
 
 def test_anomaly_matches_pandas_replay(spark):
     """evt_anomaly must equal a pandas replay of the trailing z-score over
-    the hourly census (independent window implementation), and the flag
-    discipline must hold: cold-start rows absent, hist_n bounded by the
-    window, anomaly <=> |z| >= ANOM_Z on the unrounded score."""
+    the DENSIFIED hourly census (zero-filled per type over its bucket
+    span; independent window implementation), and the flag discipline
+    must hold: cold-start rows absent, hist_n bounded by the window,
+    anomaly <=> |z| >= ANOM_Z on the unrounded score."""
     pdf = pd.read_parquet(f"{SF_DIR}/events.parquet")
     pdf["bucket"] = pdf["ts"].dt.floor("h")
     hourly = (
@@ -562,6 +563,18 @@ def test_anomaly_matches_pandas_replay(spark):
     )
     expected = {}
     for et, g in hourly.groupby("event_type"):
+        # independent densify: zero-fill the type's hourly span
+        g = (
+            g.set_index("bucket")
+            .reindex(
+                pd.date_range(
+                    g["bucket"].min(), g["bucket"].max(), freq="h"
+                ),
+                fill_value=0,
+            )
+            .rename_axis("bucket")
+            .reset_index()
+        )
         counts = g["n_events"].tolist()
         buckets = g["bucket"].tolist()
         for i in range(len(counts)):
@@ -586,3 +599,33 @@ def test_anomaly_matches_pandas_replay(spark):
         assert abs(r.hist_std - std) < 2e-6
         assert abs(r.zscore - z) < 2e-6
         assert r.is_anomaly == (abs(z) >= events.ANOM_Z)
+
+
+def test_anomaly_flags_silent_hour(spark):
+    """A zero-volume hour inside a type's active span must itself be
+    judged — and with a steady baseline, FLAGGED (dead-stream page).
+    Also pins densify semantics: the gap hour enters later baselines as
+    a real 0, and the span never extends past the type's lifetime."""
+    hr = events._HOUR_US
+    # steady-but-jittered volume (constant would hit the std=0 guard and
+    # z-score the gap to 0 — the guard is for flat streams, not silence)
+    census = spark.createDataFrame(
+        [(i * hr, "api", 100 + i % 5) for i in range(30) if i != 25],
+        "bucket_us long, event_type string, n_events long",
+    )
+    out = {
+        r.bucket_us: r
+        for r in events.anomaly_verdicts(
+            events.densify_hourly(census)
+        ).collect()
+    }
+    silent = out[25 * hr]
+    assert silent.n_events == 0
+    assert silent.is_anomaly and silent.zscore < -events.ANOM_Z
+    # steady hours before the gap are unflagged; the hour after the gap
+    # has the 0 in its baseline (std > 0) but is itself normal
+    assert not out[24 * hr].is_anomaly
+    after = out[26 * hr]
+    assert after.hist_std > 0 and not after.is_anomaly
+    # verdicts never extend past the type's observed span
+    assert max(out) == 29 * hr and min(out) == events.ANOM_MIN_HIST * hr

@@ -30,10 +30,6 @@ N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
 N_BOILER = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000
 VARIANT = sys.argv[3] if len(sys.argv) > 3 else "both"
 
-WORDS = [
-    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
-    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
-]
 BOILER = (
     "license apache version two permission granted free of charge to any "
     "person obtaining copy of this software and associated documentation "
@@ -46,16 +42,16 @@ def build_corpus(spark):
     from pyspark.sql import functions as F
 
     base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
-    # family text: ~30 words keyed by doc_id//4 so each family of 4 is a
-    # near-dup cluster; variant word salts per member
+    # family text: ~30 hash-derived tokens keyed by doc_id//4 so each
+    # family of 4 is a near-dup cluster with essentially no cross-family
+    # shingle overlap (a closed 14-word alphabet collided bands across
+    # families at 60k docs, drowning the hot-band signal under an O(n²/16)
+    # verify join); variant word salts per member
     fam = (F.col("doc_id") / 4).cast("long")
     words = F.concat_ws(
         " ",
         *[
-            F.element_at(
-                F.array(*[F.lit(w) for w in WORDS]),
-                (F.pmod(fam * (i + 3) + i * 7, len(WORDS)) + 1).cast("int"),
-            )
+            F.substring(F.md5(F.concat(fam.cast("string"), F.lit(f"_{i}"))), 1, 8)
             for i in range(30)
         ],
     )
