@@ -350,6 +350,10 @@ def cluster_representatives(
     import pandas as pd
 
     def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas delivers group rows in shuffle order; sort so the
+        # float cost sums are bitwise partitioning-invariant (ties at the
+        # 1e-9 window otherwise depend on summation order)
+        pdf = pdf.sort_values("file_id").reset_index(drop=True)
         if len(pdf) > sample_cap:
             order = np.argsort(
                 [

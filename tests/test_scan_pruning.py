@@ -40,8 +40,12 @@ def test_partition_pruning_on_date_partitioned_events(spark, tmp_path):
 
     pruned = spark.read.parquet(out).filter(F.col("day") == one_day)
     plan = _scan_plan(pruned)
+    # the equality predicate must land in PartitionFilters (the inferred
+    # isnotnull(day) conjunct disappeared when the session factory turned
+    # spark.sql.constraintPropagation off — it added nothing: the
+    # equality alone selects exactly the one partition)
     assert "PartitionFilters: [" in plan
-    assert "isnotnull(day" in plan
+    assert "day" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
 
     # row counts agree with the unpruned filter — pruning is not sampling
     assert pruned.count() == ev.filter(F.col("day") == one_day).count()
@@ -56,7 +60,10 @@ def test_predicate_and_projection_reach_parquet_scan(spark):
         .select("user_id", "value")
     )
     plan = _scan_plan(df)
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)" in plan
+    # IsNotNull(event_type) was an InferFiltersFromConstraints artifact
+    # (constraint propagation is off session-wide); EqualTo subsumes it
+    # for both row-group stats skipping and row filtering
+    assert "PushedFilters: [EqualTo(event_type,click)" in plan
     # ReadSchema carries only the projected + filtered columns, never ts/payload
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "user_id" in read_schema and "value" in read_schema
